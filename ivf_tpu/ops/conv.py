@@ -1,0 +1,158 @@
+"""3D conv / pool primitives with the reference's exact padding semantics.
+
+Layout is TPU-native channels-last throughout:
+  * activations: ``(B, T, H, W, C)``  (NDHWC)
+  * conv kernels: ``(kT, kH, kW, Cin, Cout)``  (DHWIO)
+
+Parity notes vs the reference (``video_features_pytorch/models/I3D_doubled.py``):
+  * ``conv3d_same``   <- Unit3D's dynamic SAME pad + Conv3d (lines 77-109).
+  * ``max_pool3d_same`` <- MaxPool3dSamePadding (lines 8-40). The reference
+    pads with **zeros** (``F.pad`` default) before max-pooling, *not* -inf as
+    TF SAME pooling would; we replicate the zero-pad exactly. (In I3D every
+    pooled activation is post-ReLU so the two agree, but parity is parity.)
+  * ``avg_pool3d_valid`` <- torch ``nn.AvgPool3d`` in the Logits head
+    (lines 310-318): VALID padding, count includes the full window.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ivf_tpu.ops.padding import explicit_same_padding
+
+_CONV3D_DIMS = lax.conv_dimension_numbers(
+    (1, 1, 1, 1, 1), (1, 1, 1, 1, 1), ("NDHWC", "DHWIO", "NDHWC")
+)
+_CONV2D_DIMS = lax.conv_dimension_numbers(
+    (1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
+)
+
+
+def conv3d_same(
+    x: jax.Array,
+    kernel: jax.Array,
+    strides: Sequence[int] = (1, 1, 1),
+    bias: jax.Array | None = None,
+    preferred_dtype=jnp.float32,
+) -> jax.Array:
+    """3D convolution with TF-SAME (asymmetric) padding.
+
+    x: (B, T, H, W, C); kernel: (kT, kH, kW, Cin, Cout).
+    """
+    pad = explicit_same_padding(x.shape[1:4], kernel.shape[:3], strides)
+    out = lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=tuple(strides),
+        padding=pad,
+        dimension_numbers=_CONV3D_DIMS,
+        preferred_element_type=preferred_dtype,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def conv2d_same_torch(
+    x: jax.Array,
+    kernel: jax.Array,
+    stride: int = 1,
+    bias: jax.Array | None = None,
+    torch_padding: int | None = None,
+    preferred_dtype=jnp.float32,
+) -> jax.Array:
+    """2D convolution matching torch ``nn.Conv2d(padding=p)`` semantics.
+
+    The reference ConvLSTM cell uses symmetric torch padding
+    ``p = (k-1)//2`` (``models/convolution_lstm.py:23-32``), which for odd
+    kernels and stride 1 equals SAME but for stride>1 differs from TF SAME —
+    so we reproduce torch's symmetric padding exactly.
+
+    x: (B, H, W, C); kernel: (kH, kW, Cin, Cout).
+    """
+    if torch_padding is None:
+        torch_padding = (kernel.shape[0] - 1) // 2
+    p = torch_padding
+    out = lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride, stride),
+        padding=((p, p), (p, p)),
+        dimension_numbers=_CONV2D_DIMS,
+        preferred_element_type=preferred_dtype,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def max_pool3d_same(
+    x: jax.Array, window: Sequence[int], strides: Sequence[int]
+) -> jax.Array:
+    """Max pool with the reference's zero-padded SAME (I3D_doubled.py:8-40).
+
+    Explicitly zero-pads (matching ``F.pad`` + VALID MaxPool3d), then takes a
+    VALID max reduce-window.
+    """
+    pad = explicit_same_padding(x.shape[1:4], window, strides)
+    pad_cfg = ((0, 0),) + tuple(pad) + ((0, 0),)
+    x = jnp.pad(x, pad_cfg, mode="constant", constant_values=0.0)
+    return lax.reduce_window(
+        x,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(1, *window, 1),
+        window_strides=(1, *strides, 1),
+        padding="VALID",
+    )
+
+
+def max_pool2d_valid(x: jax.Array, window: Sequence[int]) -> jax.Array:
+    """torch ``nn.MaxPool2d(kernel_size)`` — stride=window, VALID, floor mode.
+
+    Used per-timestep in the ConvLSTM stack (convolution_lstm.py:79, 124).
+    x: (B, H, W, C).
+    """
+    return lax.reduce_window(
+        x,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(1, *window, 1),
+        window_strides=(1, *window, 1),
+        padding="VALID",
+    )
+
+
+def avg_pool2d_valid(x: jax.Array, window: Sequence[int]) -> jax.Array:
+    """Keras ``AveragePooling2D`` / torch AvgPool2d, VALID, stride=window."""
+    summed = lax.reduce_window(
+        x,
+        0.0,
+        lax.add,
+        window_dimensions=(1, *window, 1),
+        window_strides=(1, *window, 1),
+        padding="VALID",
+    )
+    return summed / float(window[0] * window[1])
+
+
+def avg_pool3d_valid(
+    x: jax.Array, window: Sequence[int], strides: Sequence[int] = (1, 1, 1)
+) -> jax.Array:
+    """torch ``nn.AvgPool3d(kernel, stride)`` with no padding (VALID).
+
+    Matches the I3D Logits-head pool (I3D_doubled.py:310-318).
+    """
+    summed = lax.reduce_window(
+        x,
+        0.0,
+        lax.add,
+        window_dimensions=(1, *window, 1),
+        window_strides=(1, *strides, 1),
+        padding="VALID",
+    )
+    return summed / float(window[0] * window[1] * window[2])

@@ -1,0 +1,183 @@
+"""Parity tests for core conv/pool ops vs the reference's torch semantics.
+
+Golden comparisons run the *reference code itself* (imported read-only from
+/root/reference) on CPU torch and check our JAX ops agree to float tolerance.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from ivf_tpu.ops import (
+    conv3d_same,
+    max_pool3d_same,
+    avg_pool3d_valid,
+    conv2d_same_torch,
+)
+from ivf_tpu.ops.conv import max_pool2d_valid
+from ivf_tpu.ops.padding import same_pad_amounts
+
+
+def _nchw3d_to_jax(x_torch):
+    # torch (B, C, T, H, W) -> jax (B, T, H, W, C)
+    return jnp.asarray(x_torch.detach().numpy().transpose(0, 2, 3, 4, 1))
+
+
+def _jax_to_nchw3d(x_jax):
+    return np.asarray(x_jax).transpose(0, 4, 1, 2, 3)
+
+
+@pytest.mark.parametrize("size,kernel,stride", [(16, 3, 1), (16, 3, 2), (15, 7, 2), (7, 2, 2), (32, 1, 1)])
+def test_same_pad_amounts_match_tf_formula(size, kernel, stride):
+    lo, hi = same_pad_amounts(size, kernel, stride)
+    # TF SAME definition
+    out = -(-size // stride)
+    total = max((out - 1) * stride + kernel - size, 0)
+    assert lo + hi == total
+    assert lo == total // 2
+
+
+@pytest.mark.parametrize(
+    "shape,kshape,stride",
+    [
+        ((2, 8, 16, 16, 3), (3, 3, 3), (1, 1, 1)),
+        ((2, 8, 16, 16, 3), (3, 3, 3), (2, 2, 2)),
+        ((1, 7, 15, 13, 4), (7, 7, 7), (2, 2, 2)),
+        ((1, 8, 16, 16, 3), (1, 1, 1), (1, 1, 1)),
+    ],
+)
+def test_conv3d_same_matches_reference_unit3d(reference_pt_path, shape, kshape, stride):
+    from models.I3D_doubled import Unit3D  # reference module (read-only)
+
+    b, t, h, w, cin = shape
+    cout = 5
+    torch.manual_seed(0)
+    unit = Unit3D(
+        in_channels=cin,
+        output_channels=cout,
+        kernel_shape=list(kshape),
+        stride=stride,
+        use_batch_norm=False,
+        use_bias=True,
+        activation_fn=None,
+    )
+    x_t = torch.randn(b, cin, t, h, w)
+    with torch.no_grad():
+        ref = unit(x_t).numpy()
+
+    # torch conv weight (Cout, Cin, kT, kH, kW) -> DHWIO
+    kern = unit.conv3d.weight.detach().numpy().transpose(2, 3, 4, 1, 0)
+    bias = unit.conv3d.bias.detach().numpy()
+    out = conv3d_same(_nchw3d_to_jax(x_t), jnp.asarray(kern), stride, jnp.asarray(bias))
+    np.testing.assert_allclose(_jax_to_nchw3d(out), ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "shape,window,stride",
+    [
+        ((2, 8, 16, 16, 3), (1, 3, 3), (1, 2, 2)),
+        ((2, 8, 16, 16, 3), (3, 3, 3), (2, 2, 2)),
+        ((1, 7, 15, 13, 2), (2, 2, 2), (2, 2, 2)),
+    ],
+)
+def test_max_pool3d_same_matches_reference(reference_pt_path, shape, window, stride):
+    from models.I3D_doubled import MaxPool3dSamePadding
+
+    b, t, h, w, c = shape
+    pool = MaxPool3dSamePadding(kernel_size=list(window), stride=stride, padding=0)
+    # include negative values to catch the zero-pad-vs-(-inf) distinction
+    x_t = torch.randn(b, c, t, h, w)
+    with torch.no_grad():
+        ref = pool(x_t).numpy()
+    out = max_pool3d_same(_nchw3d_to_jax(x_t), window, stride)
+    np.testing.assert_allclose(_jax_to_nchw3d(out), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_avg_pool3d_valid_matches_torch():
+    x_t = torch.randn(2, 4, 6, 14, 14)
+    pool = torch.nn.AvgPool3d(kernel_size=[2, 7, 7], stride=(1, 1, 1))
+    with torch.no_grad():
+        ref = pool(x_t).numpy()
+    out = avg_pool3d_valid(_nchw3d_to_jax(x_t), (2, 7, 7), (1, 1, 1))
+    np.testing.assert_allclose(_jax_to_nchw3d(out), ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_conv2d_same_torch_matches_torch(stride):
+    k, cin, cout = 5, 3, 8
+    torch.manual_seed(1)
+    conv = torch.nn.Conv2d(cin, cout, k, stride, padding=(k - 1) // 2, bias=True)
+    x_t = torch.randn(2, cin, 16, 12)
+    with torch.no_grad():
+        ref = conv(x_t).numpy()
+    kern = conv.weight.detach().numpy().transpose(2, 3, 1, 0)  # HWIO
+    x_j = jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1))
+    out = conv2d_same_torch(x_j, jnp.asarray(kern), stride, jnp.asarray(conv.bias.detach().numpy()))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_max_pool2d_valid_matches_torch():
+    x_t = torch.randn(2, 4, 15, 13)  # odd sizes: floor-mode truncation
+    pool = torch.nn.MaxPool2d(kernel_size=(2, 2))
+    with torch.no_grad():
+        ref = pool(x_t).numpy()
+    x_j = jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1))
+    out = max_pool2d_valid(x_j, (2, 2))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref, rtol=1e-6)
+
+
+def test_pallas_gate_math_matches_reference_cell(reference_pt_path):
+    """Fused gate block == reference ConvLSTMCell.forward (zero peepholes)."""
+    from models.convolution_lstm import ConvLSTMCell
+
+    torch.manual_seed(2)
+    cin, ch, k = 3, 8, 5
+    cell = ConvLSTMCell(cin, ch, k, conv_stride=1, device="cpu")
+    b, hh, ww = 2, 8, 8
+    x_t = torch.randn(b, cin, hh, ww)
+    h_t = torch.randn(b, ch, hh, ww)
+    c_t = torch.randn(b, ch, hh, ww)
+    cell.init_hidden(b, ch, (hh, ww))  # creates the zero peephole constants
+    with torch.no_grad():
+        ref_h, ref_c = cell(x_t, h_t, c_t)
+
+    from ivf_tpu.ops.convlstm_cell import convlstm_cell_step
+
+    def torch_kernel_to_hwio(m):
+        return jnp.asarray(m.weight.detach().numpy().transpose(2, 3, 1, 0))
+
+    wx = jnp.concatenate(
+        [torch_kernel_to_hwio(m) for m in (cell.Wxi, cell.Wxf, cell.Wxc, cell.Wxo)],
+        axis=-1,
+    )
+    bx = jnp.concatenate(
+        [jnp.asarray(m.bias.detach().numpy()) for m in (cell.Wxi, cell.Wxf, cell.Wxc, cell.Wxo)]
+    )
+    wh = jnp.concatenate(
+        [torch_kernel_to_hwio(m) for m in (cell.Whi, cell.Whf, cell.Whc, cell.Who)],
+        axis=-1,
+    )
+    to_j = lambda t: jnp.asarray(t.numpy().transpose(0, 2, 3, 1))
+    new_h, new_c = convlstm_cell_step(to_j(x_t), to_j(h_t), to_j(c_t), wx, bx, wh)
+    np.testing.assert_allclose(
+        np.asarray(new_h).transpose(0, 3, 1, 2), ref_h.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_c).transpose(0, 3, 1, 2), ref_c.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+    # pallas path (interpret mode on CPU) agrees with the jnp path
+    from ivf_tpu.ops.convlstm_cell import fused_gate_math
+    from ivf_tpu.ops.pallas.fused_gates import pallas_gate_math
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    gx = jax.random.normal(key, (2, 8, 8, 4 * ch))
+    gh = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4 * ch))
+    c0 = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, ch))
+    jh, jc = fused_gate_math(gx, gh, c0)
+    ph, pc = pallas_gate_math(gx, gh, c0, interpret=True)
+    np.testing.assert_allclose(np.asarray(ph), np.asarray(jh), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pc), np.asarray(jc), rtol=1e-5, atol=1e-6)
