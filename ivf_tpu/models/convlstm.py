@@ -1,0 +1,249 @@
+"""ConvLSTM video classifier, TPU-native Flax implementation.
+
+One model family covering both reference implementations:
+  * torch ``models/convolution_lstm.py`` + ``models/CLSTM_4.py`` — peephole
+    terms are zero constants (never trained) so they are elided; per-step
+    block order is dropout -> batchnorm -> maxpool with ONE BatchNorm
+    instance shared across all layers and timesteps (the reference quirk at
+    convolution_lstm.py:85,120-123 — reproduced by default via
+    ``shared_bn=True``; set False for a sane per-layer BN),
+  * TF ``models/clstm.py`` — Keras ConvLSTM2D blocks with per-block
+    max/avg TimeDistributed pooling and BN *after* pooling
+    (``block_order='tf'``), FC head over the last timestep or the whole
+    sequence, plus the ``clstm_gap`` temporal-GAP + 1x1x1-conv head
+    (``head='gap'``).
+
+The recurrence runs as a compile-time-unrolled loop over the (static,
+16-32 frame) clip length; each step is two fused convs + one fused gate
+block (see ops/convlstm_cell.py). Throughput scaling comes from vmap/
+data-sharding over clips, not from the time axis (SURVEY.md §5).
+
+Grad-CAM targets: the full per-timestep output sequence of the last layer
+(``clstm_output`` in TF, find_mask_*'s gradcam target) is sown as
+``intermediates/clstm_output`` and also returned by ``features``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ivf_tpu.models.layers import TorchBatchNorm
+from ivf_tpu.ops.conv import avg_pool2d_valid, max_pool2d_valid
+from ivf_tpu.ops.convlstm_cell import convlstm_cell_step
+
+
+class ConvLSTMCell(nn.Module):
+    """Single cell; params fused in (i,f,c,o) gate order."""
+
+    hidden_channels: int
+    kernel_size: int = 5
+    conv_stride: int = 1
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, h, c):
+        cin, ch, k = x.shape[-1], self.hidden_channels, self.kernel_size
+        wx = self.param(
+            "wx",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (k, k, cin, 4 * ch),
+        )
+        bx = self.param("bx", nn.initializers.zeros, (4 * ch,))
+        wh = self.param(
+            "wh",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (k, k, ch, 4 * ch),
+        )
+        return convlstm_cell_step(
+            x, h, c, wx, bx, wh, self.conv_stride, self.use_pallas
+        )
+
+
+class ConvLSTM(nn.Module):
+    """Multi-layer ConvLSTM over a clip (reference convolution_lstm.py:63-132).
+
+    Input ``(B, T, H, W, C)``. Returns ``(effective_outputs, clstm_output)``:
+      * ``effective_outputs``: (n_eff, B, H', W', C') block outputs (post
+        pool) at ``effective_steps`` of the last layer,
+      * ``clstm_output``: (B, T, H'', W'', C') full pre-pool hidden sequence
+        of the last layer — the Grad-CAM target.
+    """
+
+    hidden_channels: Tuple[int, ...]
+    kernel_size: int = 5
+    conv_stride: int = 1
+    pool_kernel: Tuple[int, int] = (2, 2)
+    effective_steps: Tuple[int, ...] = ()
+    batch_norm: bool = True
+    shared_bn: bool = True  # reference quirk: one BN for all layers/steps
+    pooling: str = "max"  # 'max' | 'avg'
+    block_order: str = "torch"  # 'torch': drop->bn->pool ; 'tf': pool->bn
+    dropout_rate: float = 0.0
+    use_pallas: bool = False
+
+    def setup(self):
+        self.cells = [
+            ConvLSTMCell(ch, self.kernel_size, self.conv_stride, self.use_pallas)
+            for ch in self.hidden_channels
+        ]
+        if self.batch_norm:
+            if self.shared_bn:
+                # eps/momentum from torch BatchNorm2d defaults
+                # (convolution_lstm.py:85)
+                self.bn = TorchBatchNorm(eps=1e-5, momentum=0.1)
+            else:
+                self.bns = [
+                    TorchBatchNorm(eps=1e-5, momentum=0.1)
+                    for _ in self.hidden_channels
+                ]
+
+    def _pool(self, x):
+        if self.pooling == "avg":
+            return avg_pool2d_valid(x, self.pool_kernel)
+        return max_pool2d_valid(x, self.pool_kernel)
+
+    def _block_tail(self, x, layer: int, train: bool):
+        """Post-cell per-step processing for one layer."""
+        if self.block_order == "tf":
+            x = self._pool(x)
+            if self.batch_norm:
+                bn = self.bn if self.shared_bn else self.bns[layer]
+                x = bn(x, train=train)
+            return x
+        if self.dropout_rate:
+            x = nn.Dropout(self.dropout_rate, name=f"dropout_{layer}")(
+                x, deterministic=not train
+            )
+        if self.batch_norm:
+            bn = self.bn if self.shared_bn else self.bns[layer]
+            x = bn(x, train=train)
+        return self._pool(x)
+
+    def __call__(
+        self,
+        clip: jax.Array,
+        train: bool = False,
+        feature_offset: Optional[jax.Array] = None,
+    ):
+        """``feature_offset`` (B, T, H'', W'', C'), when given, is added to the
+        last layer's per-step hidden output *after* the recurrence reads it —
+        so ``d logits / d feature_offset`` at zeros equals the reference's
+        ``tf.gradients(y_c, clstm_output)`` (mask/gradcam.py:49), which flows
+        through the pooling/dense consumers but not back through time."""
+        b, t = clip.shape[0], clip.shape[1]
+        n_layers = len(self.hidden_channels)
+        states = [None] * n_layers
+        effective = list(self.effective_steps) or [t - 1]
+        outputs = []
+        clstm_seq = []
+        for step in range(t):
+            x = clip[:, step]
+            for i, cell in enumerate(self.cells):
+                if states[i] is None:
+                    hh = x.shape[1] // self.conv_stride
+                    ww = x.shape[2] // self.conv_stride
+                    zeros = jnp.zeros(
+                        (b, hh, ww, self.hidden_channels[i]), clip.dtype
+                    )
+                    states[i] = (zeros, zeros)
+                h, c = states[i]
+                h, c = cell(x, h, c)
+                states[i] = (h, c)
+                h_eff = h
+                if i == n_layers - 1:
+                    if feature_offset is not None:
+                        h_eff = h + feature_offset[:, step]
+                    clstm_seq.append(h_eff)
+                x = self._block_tail(h_eff, i, train)
+            if step in effective:
+                outputs.append(x)
+        effective_outputs = jnp.stack(outputs, axis=0)
+        clstm_output = jnp.stack(clstm_seq, axis=1)  # (B, T, H'', W'', C')
+        self.sow("intermediates", "clstm_output", clstm_output)
+        return effective_outputs, clstm_output
+
+
+class ConvLSTMClassifier(nn.Module):
+    """Classifier head over the ConvLSTM stack.
+
+    ``head='fc'`` mirrors torch CLSTM_4.Model (CLSTM_4.py:38-85) and the TF
+    ``clstm`` dense head (models/clstm.py:111-120): flatten the last
+    effective-step output (or the concat of all effective steps when
+    ``use_entire_seq``) into a dense layer.
+    ``head='gap'`` mirrors TF ``clstm_gap`` (models/clstm.py:54-84):
+    temporal avg-pool over the full sequence then a 1x1 conv to classes.
+    """
+
+    num_classes: int = 174
+    nb_lstm_units: int = 32
+    lstm_layers: int = 4
+    conv_kernel_size: int = 5
+    conv_stride: int = 1
+    pool_kernel: Tuple[int, int] = (2, 2)
+    effective_steps: Tuple[int, ...] = (4, 8, 12, 15)
+    batch_norm: bool = True
+    shared_bn: bool = True
+    pooling: str = "max"
+    block_order: str = "torch"
+    dropout_rate: float = 0.0
+    use_entire_seq: bool = False
+    add_softmax: bool = False
+    head: str = "fc"  # 'fc' | 'gap'
+    hidden_channels_override: Optional[Tuple[int, ...]] = None
+
+    def setup(self):
+        hidden = self.hidden_channels_override or (
+            (self.nb_lstm_units,) * self.lstm_layers
+        )
+        self.clstm = ConvLSTM(
+            hidden_channels=hidden,
+            kernel_size=self.conv_kernel_size,
+            conv_stride=self.conv_stride,
+            pool_kernel=self.pool_kernel,
+            effective_steps=self.effective_steps,
+            batch_norm=self.batch_norm,
+            shared_bn=self.shared_bn,
+            pooling=self.pooling,
+            block_order=self.block_order,
+            dropout_rate=self.dropout_rate,
+        )
+        if self.head == "fc":
+            self.end_fc = nn.Dense(self.num_classes)
+        else:
+            self.gap_conv = nn.Dense(self.num_classes)  # 1x1x1 conv == dense
+
+    def __call__(
+        self,
+        clip: jax.Array,
+        train: bool = False,
+        feature_offset: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        outputs, clstm_output = self.clstm(
+            clip, train=train, feature_offset=feature_offset
+        )
+        if self.head == "gap":
+            # temporal GAP over pooled block outputs then 1x1 conv
+            # (clstm_gap pools over the 16-frame axis, clstm.py:72-82)
+            feats = jnp.mean(clstm_output, axis=1)  # (B, H, W, C)
+            feats = jnp.mean(feats, axis=(1, 2))  # spatial GAP
+            out = self.gap_conv(feats)
+        else:
+            if self.use_entire_seq:
+                feats = jnp.reshape(
+                    jnp.moveaxis(outputs, 0, 1), (clip.shape[0], -1)
+                )
+            else:
+                feats = jnp.reshape(outputs[-1], (clip.shape[0], -1))
+            out = self.end_fc(feats)
+        if self.add_softmax:
+            out = jax.nn.softmax(out, axis=-1)
+        return out
+
+    def features(self, clip: jax.Array, train: bool = False) -> jax.Array:
+        """Grad-CAM target: the last layer's full pre-pool hidden sequence."""
+        _, clstm_output = self.clstm(clip, train=train)
+        return clstm_output

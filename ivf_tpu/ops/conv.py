@@ -42,10 +42,14 @@ def conv3d_same(
     """3D convolution with TF-SAME (asymmetric) padding.
 
     x: (B, T, H, W, C); kernel: (kT, kH, kW, Cin, Cout).
+
+    Mixed precision: the activation is cast to the kernel dtype (bf16 params
+    => bf16 MXU inputs) while accumulation stays ``preferred_dtype`` (f32),
+    so elementwise ops downstream remain full precision.
     """
     pad = explicit_same_padding(x.shape[1:4], kernel.shape[:3], strides)
     out = lax.conv_general_dilated(
-        x,
+        x.astype(kernel.dtype),
         kernel,
         window_strides=tuple(strides),
         padding=pad,
@@ -78,7 +82,7 @@ def conv2d_same_torch(
         torch_padding = (kernel.shape[0] - 1) // 2
     p = torch_padding
     out = lax.conv_general_dilated(
-        x,
+        x.astype(kernel.dtype),
         kernel,
         window_strides=(stride, stride),
         padding=((p, p), (p, p)),
