@@ -1,0 +1,211 @@
+"""Temporal-mask optimization — the framework's headline workload.
+
+The reference optimizes one clip at a time: ~300 Adam steps, each a full
+I3D forward+backward (``FindMasksComparison_I3D_smth.py:188-214``), clips
+strictly sequential. Here the whole optimization is a pure function of one
+clip, so ``jax.vmap`` runs *hundreds of clips in parallel* on one chip and
+``shard_map`` spreads them over a mesh — the TPU-native redesign promised in
+SURVEY.md §3.3.
+
+Semantics notes (all verified against the reference):
+  * loss = lam1*sum|sigmoid(m)| + lam2*TV(sigmoid(m), p=3, q=3)
+          + score(perturb(seq, sigmoid(m)))[target]     (lines 198-207)
+    where score is the post-softmax class probability (model built with
+    softMax=1, line 58).
+  * Adam lr=0.2, torch defaults b1=0.9 b2=0.999 eps=1e-8 (line 191).
+  * The reference's early-stop ``abs(oldLoss - loss) < eta`` is DEAD CODE:
+    ``oldLoss`` is initialized to 999999 and never updated (lines 193-214),
+    so all N steps always run. We default to exact-parity behavior
+    (``early_stop=False``) and offer the *intended* semantics
+    (``early_stop=True``: per-clip convergence freezing under vmap).
+  * central init (mask.py:103-154): candidate masks ones-with-i-edge-zeros
+    for i in 1..T//2-1, first whose score-drop ratio < threshold (else the
+    last); all candidate probes run in ONE batched forward here instead of
+    the reference's sequential probe loop. {0,1} -> {-5,+5} logits.
+  * random init (mask.py:156-165): ``uniform() > 0.7`` — i.e. ~30% of
+    frames on (the reference docstring says 70%; the code says 30% — we
+    follow the code), {0,1} -> {-2.5,+2.5}; the all-equal nudge at index 8.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ivf_tpu.interpret.perturb import (
+    freeze_perturb,
+    perturb_sequence,
+    tv_norm,
+)
+
+ScoreFn = Callable[[jax.Array], jax.Array]
+# ScoreFn: clip (T, H, W, C) -> class-probability vector (num_classes,)
+
+
+class MaskSearchResult(NamedTuple):
+    mask: jax.Array  # sigmoid(mask_logits), (T,)
+    loss: jax.Array  # final total loss
+    l1_loss: jax.Array
+    tv_loss: jax.Array
+    freeze_score: jax.Array  # class score under the optimized perturbation
+    reverse_score: jax.Array  # class score under reverse perturbation
+    orig_score: jax.Array  # unperturbed class score
+    n_steps_run: jax.Array  # steps actually applied (== N unless early_stop)
+
+
+@partial(jax.jit, static_argnames=("score_fn", "threshold", "mask_type"))
+def init_mask_central(
+    score_fn: ScoreFn,
+    seq: jax.Array,
+    target: jax.Array,
+    threshold: float = 0.9,
+    mask_type: str = "freeze",
+) -> jax.Array:
+    """Smallest centered mask whose score drop is >= threshold of the fully
+    perturbed drop (mask.py:121-154). All probes in one batched forward.
+
+    Returns pre-sigmoid logits (T,) in {-5, +5}.
+    """
+    t = seq.shape[0]
+    target = jnp.asarray(target)
+
+    fully_frozen = jnp.broadcast_to(seq[0], seq.shape)
+    probe = lambda clip: score_fn(clip)[target]
+    orig_score = probe(seq)
+    frozen_score = probe(fully_frozen)
+
+    if t // 2 - 1 < 1:
+        # degenerate tiny clips: the reference would crash (new_mask unbound);
+        # we return the all-on mask
+        return jnp.full((t,), 5.0, seq.dtype)
+    n_cand = t // 2 - 1
+    ii = jnp.arange(1, n_cand + 1)  # i = 1 .. T//2-1
+    pos = jnp.arange(t)
+    # ones with the first i and last i entries zeroed
+    cand_masks = ((pos[None, :] >= ii[:, None]) & (pos[None, :] < t - ii[:, None])).astype(
+        seq.dtype
+    )
+
+    perturbed = jax.vmap(
+        lambda m: perturb_sequence(seq, m, perturbation_type=mask_type)
+    )(cand_masks)
+    cand_scores = jax.vmap(probe)(perturbed)
+    ratios = (orig_score - cand_scores) / (orig_score - frozen_score)
+    below = ratios < threshold
+    first_below = jnp.argmax(below)  # 0 if none True
+    chosen = jnp.where(jnp.any(below), first_below, n_cand - 1)
+    mask01 = cand_masks[chosen]
+    return jnp.where(mask01 == 0, -5.0, 5.0).astype(seq.dtype)
+
+
+def init_mask_random(key: jax.Array, t: int, dtype=jnp.float32) -> jax.Array:
+    """Random init (mask.py:156-165). Returns pre-sigmoid logits (T,)."""
+    u = jax.random.uniform(key, (t,), dtype)
+    mask = (u > 0.7).astype(dtype)
+    mask = (mask - 0.5) * 5.0
+    # nudge to avoid a NaN TV norm when the mask is constant
+    all_same = jnp.abs(mask.sum()) == 2.5 * t
+    return mask.at[min(8, t - 1)].add(jnp.where(all_same, 0.1, 0.0))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "score_fn",
+        "n_steps",
+        "perturbation_type",
+        "early_stop",
+        "lr",
+    ),
+)
+def find_mask(
+    score_fn: ScoreFn,
+    seq: jax.Array,
+    target: jax.Array,
+    mask_init_logits: jax.Array,
+    n_steps: int = 300,
+    lam1: float = 0.01,
+    lam2: float = 0.02,
+    lr: float = 0.2,
+    perturbation_type: str = "freeze",
+    early_stop: bool = False,
+    eta: float = 1e-5,
+) -> MaskSearchResult:
+    """Optimize a temporal mask for one clip (vmap over clips for batches).
+
+    score_fn must return post-softmax class probabilities; only the mask
+    logits receive gradients (model params are closed over / stopped).
+    """
+    target = jnp.asarray(target)
+    opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+    def loss_fn(logits):
+        m = jax.nn.sigmoid(logits)
+        l1 = lam1 * jnp.sum(jnp.abs(m))
+        tv = lam2 * tv_norm(m, 3.0, 3.0)
+        perturbed = perturb_sequence(seq, m, perturbation_type)
+        class_score = score_fn(perturbed)[target]
+        total = l1 + tv + class_score
+        return total, (l1, tv, class_score)
+
+    def step(carry, _):
+        logits, opt_state, old_loss, active, n_run = carry
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(logits)
+        if early_stop:
+            converged = jnp.abs(old_loss - loss) < eta
+            active = active & ~converged
+        updates, new_opt_state = opt.update(grads, opt_state, logits)
+        new_logits = optax.apply_updates(logits, updates)
+        logits = jnp.where(active, new_logits, logits)
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(active, new, old),
+            new_opt_state,
+            opt_state,
+        )
+        n_run = n_run + active.astype(jnp.int32)
+        return (logits, opt_state, loss, active, n_run), (loss, aux)
+
+    init = (
+        mask_init_logits,
+        opt.init(mask_init_logits),
+        jnp.asarray(999999.0, seq.dtype),
+        jnp.asarray(True),
+        jnp.asarray(0, jnp.int32),
+    )
+    (logits, _, _, _, n_run), (losses, auxes) = jax.lax.scan(
+        step, init, None, length=n_steps
+    )
+
+    # final metrics at the optimized mask (reference reports the last
+    # computed class_loss; with early_stop off these coincide)
+    final_loss, (l1, tv, freeze_score) = loss_fn(logits)
+    mask = jax.nn.sigmoid(logits)
+    reverse_score = score_fn(perturb_sequence(seq, mask, "reverse"))[target]
+    orig_score = score_fn(seq)[target]
+    return MaskSearchResult(
+        mask=mask,
+        loss=final_loss,
+        l1_loss=l1,
+        tv_loss=tv,
+        freeze_score=freeze_score,
+        reverse_score=reverse_score,
+        orig_score=orig_score,
+        n_steps_run=n_run,
+    )
+
+
+def find_mask_batched(
+    score_fn: ScoreFn,
+    seqs: jax.Array,
+    targets: jax.Array,
+    mask_init_logits: jax.Array,
+    **kwargs,
+) -> MaskSearchResult:
+    """vmap of find_mask over a leading clip axis — the TPU headline win:
+    every clip's 300-step Adam search runs in parallel."""
+    fn = partial(find_mask, score_fn, **kwargs)
+    return jax.vmap(fn)(seqs, targets, mask_init_logits)

@@ -1,0 +1,46 @@
+"""Device mesh + sharding layer — the framework's distributed backbone.
+
+The reference's only parallelism is single-process ``torch.nn.DataParallel``
+host-side scatter/gather (train_i3d_smth.py:58; SURVEY.md §2.3). The
+TPU-native replacement: a ``jax.sharding.Mesh`` over the slice's chips with
+a ``'data'`` axis; batches are placed with a NamedSharding so every jitted
+step runs SPMD with XLA-inserted collectives (gradient psums ride the ICI).
+
+Clip-level workloads (training batches, the vmapped mask search, Grad-CAM
+sweeps) all shard along the leading clip axis; params/masks stay replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(
+    n_devices: Optional[int] = None, axis_name: str = "data"
+) -> Mesh:
+    """1-D mesh over (up to) all visible devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (clip/batch) axis over the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Place (clips, labels, ...) pytree with leading-axis sharding."""
+    sharding = data_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (params) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,232 @@
+"""Training / evaluation loops — jitted steps + host orchestration.
+
+Replaces the reference's four hand-rolled loops (train_i3d_smth.py,
+train_i3d_kth32.py, train_clstm_kth.py, TF train_kth.py / train_smth.py)
+with ONE jitted ``train_step`` / ``eval_step`` pair:
+
+  * loss: 'cross_entropy' (torch CrossEntropyLoss on logits / TF
+    softmax_cross_entropy_with_logits) or 'nll_on_probs' — the torch half's
+    ``soft_max=1`` path feeds *raw softmax probabilities* to NLLLoss
+    (train_i3d_smth.py:117-120), i.e. loss = mean(-p[target]); reproduced
+    verbatim as an option.
+  * BatchNorm running stats update through the mutable 'batch_stats'
+    collection; dropout via a per-step folded rng.
+  * data parallelism: batches placed with a ``('data',)`` sharding (see
+    parallel/mesh.py) — XLA inserts the gradient reductions over ICI;
+    there is no DataParallel-style host scatter/gather.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ivf_tpu.train.metrics import AverageMeter, topk_accuracy
+from ivf_tpu.train.state import TrainState
+
+
+def _compute_loss(logits: jax.Array, labels: jax.Array, loss_type: str):
+    if loss_type == "cross_entropy":
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+    if loss_type == "nll_on_probs":
+        # reference behavior: model outputs softmax probs, NLLLoss applied
+        # directly to them (not their log)
+        return -jnp.mean(jnp.take_along_axis(logits, labels[:, None], axis=1))
+    raise ValueError(f"unknown loss_type {loss_type}")
+
+
+def make_train_step(loss_type: str = "cross_entropy", donate: bool = True):
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(
+        state: TrainState, clips: jax.Array, labels: jax.Array, rng: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            has_stats = state.batch_stats is not None
+            if has_stats:
+                variables["batch_stats"] = state.batch_stats
+            if has_stats:
+                logits, updated = state.apply_fn(
+                    variables,
+                    clips,
+                    train=True,
+                    rngs={"dropout": step_rng},
+                    mutable=["batch_stats"],
+                )
+            else:
+                logits = state.apply_fn(
+                    variables, clips, train=True, rngs={"dropout": step_rng}
+                )
+                updated = {}
+            loss = _compute_loss(logits, labels, loss_type)
+            return loss, (logits, updated.get("batch_stats"))
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        top1, top5 = topk_accuracy(logits, labels, (1, 5))
+        return new_state, {"loss": loss, "top1": top1, "top5": top5}
+
+    return train_step
+
+
+def make_eval_step(loss_type: str = "cross_entropy"):
+    @jax.jit
+    def eval_step(
+        state: TrainState, clips: jax.Array, labels: jax.Array
+    ) -> Dict[str, jax.Array]:
+        logits = state.apply_fn(state.variables(), clips, train=False)
+        loss = _compute_loss(logits, labels, loss_type)
+        top1, top5 = topk_accuracy(logits, labels, (1, 5))
+        return {"loss": loss, "top1": top1, "top5": top5, "logits": logits}
+
+    return eval_step
+
+
+def train_epoch(
+    state: TrainState,
+    loader: Iterable,
+    train_step: Callable,
+    rng: jax.Array,
+    print_freq: int = 0,
+    max_steps: Optional[int] = None,
+) -> Tuple[TrainState, Dict[str, float]]:
+    """One epoch over ``loader`` yielding (clips, labels) device-ready
+    batches. Returns (state, epoch metrics)."""
+    meters = {k: AverageMeter() for k in ("loss", "top1", "top5", "batch_time")}
+    t0 = time.time()
+    for i, (clips, labels) in enumerate(loader):
+        if max_steps is not None and i >= max_steps:
+            break
+        state, metrics = train_step(state, clips, labels, rng)
+        n = clips.shape[0]
+        # metric fetch forces completion — cheap scalars only
+        meters["loss"].update(float(metrics["loss"]), n)
+        meters["top1"].update(float(metrics["top1"]), n)
+        meters["top5"].update(float(metrics["top5"]), n)
+        meters["batch_time"].update(time.time() - t0)
+        t0 = time.time()
+        if print_freq and i % print_freq == 0:
+            print(
+                f"  step {i}: loss {meters['loss'].avg:.4f} "
+                f"top1 {meters['top1'].avg:.2f} "
+                f"({meters['batch_time'].avg:.3f}s/batch)"
+            )
+    return state, {k: m.avg for k, m in meters.items()}
+
+
+def evaluate(
+    state: TrainState,
+    loader: Iterable,
+    eval_step: Callable,
+    max_steps: Optional[int] = None,
+    collect_predictions: bool = False,
+):
+    """Validation pass; optionally collects (y_true, y_hat, top5) like
+    inference_kth.py:154-178."""
+    meters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
+    y_true, y_hat, y_hat_top5 = [], [], []
+    for i, (clips, labels) in enumerate(loader):
+        if max_steps is not None and i >= max_steps:
+            break
+        metrics = eval_step(state, clips, labels)
+        n = clips.shape[0]
+        for k in ("loss", "top1", "top5"):
+            meters[k].update(float(metrics[k]), n)
+        if collect_predictions:
+            import numpy as np
+
+            logits = np.asarray(metrics["logits"])
+            y_true.append(np.asarray(labels))
+            y_hat.append(logits.argmax(-1))
+            y_hat_top5.append(np.argsort(-logits, axis=-1)[:, :5])
+    out = {k: m.avg for k, m in meters.items()}
+    if collect_predictions:
+        import numpy as np
+
+        out["y_true"] = np.concatenate(y_true)
+        out["y_hat"] = np.concatenate(y_hat)
+        out["y_hat_top5"] = np.concatenate(y_hat_top5)
+    return out
+
+
+def fit(
+    state: TrainState,
+    train_loader_fn: Callable[[], Iterable],
+    val_loader_fn: Callable[[], Iterable],
+    num_epochs: int,
+    loss_type: str = "cross_entropy",
+    scheduler=None,
+    checkpointer=None,
+    rng: Optional[jax.Array] = None,
+    print_freq: int = 0,
+    last_lr: float = 0.0,
+    max_steps_per_epoch: Optional[int] = None,
+    plotter=None,
+) -> Tuple[TrainState, list]:
+    """Epoch orchestration mirroring train_i3d_smth.main (33-189): train,
+    validate, plateau-LR step, plot, checkpoint best-on-val-loss; stops
+    early when lr decays below ``last_lr`` (train_i3d_smth.py:156-158)."""
+    from ivf_tpu.train.optim import get_learning_rate, set_learning_rate
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    train_step = make_train_step(loss_type)
+    eval_step = make_eval_step(loss_type)
+    history = []
+    best_loss = float("inf")
+    for epoch in range(num_epochs):
+        lr_now = get_learning_rate(state.opt_state)
+        if last_lr and lr_now < last_lr:
+            print(f" > stopping: lr {lr_now} < last_lr {last_lr}")
+            break
+        state, train_metrics = train_epoch(
+            state,
+            train_loader_fn(),
+            train_step,
+            rng,
+            print_freq,
+            max_steps_per_epoch,
+        )
+        val_metrics = evaluate(
+            state, val_loader_fn(), eval_step, max_steps_per_epoch
+        )
+        if scheduler is not None:
+            new_lr = scheduler.step(val_metrics["loss"])
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, new_lr)
+            )
+        record = {
+            "epoch": epoch,
+            "lr": lr_now,
+            "train": train_metrics,
+            "val": val_metrics,
+        }
+        history.append(record)
+        print(
+            f" > epoch {epoch}: train loss {train_metrics['loss']:.4f} "
+            f"val loss {val_metrics['loss']:.4f} "
+            f"val top1 {val_metrics['top1']:.2f}"
+        )
+        if plotter is not None:
+            plotter.plot(
+                {
+                    "loss": train_metrics["loss"],
+                    "val_loss": val_metrics["loss"],
+                    "acc": train_metrics["top1"] / 100.0,
+                    "val_acc": val_metrics["top1"] / 100.0,
+                    "learning_rate": lr_now,
+                }
+            )
+        if checkpointer is not None:
+            is_best = val_metrics["loss"] < best_loss
+            best_loss = min(val_metrics["loss"], best_loss)
+            checkpointer.save(state, epoch, is_best=is_best)
+    return state, history

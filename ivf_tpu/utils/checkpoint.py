@@ -1,0 +1,84 @@
+"""Checkpointing with the reference's save/best-copy semantics.
+
+Mirrors ``utils.save_checkpoint`` (video_features_pytorch/utils.py:142-148):
+write ``checkpoint`` every epoch, copy to ``model_best`` on improvement —
+implemented over orbax for TPU-friendly async-capable saves. Stores params,
+batch_stats, opt_state and epoch so training resumes exactly
+(train_i3d_smth.py:63-92), including the logits-skipping partial restore
+used for class-count transfer.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from ivf_tpu.train.state import TrainState
+
+
+class Checkpointer:
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._saver = ocp.StandardCheckpointer()
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.directory, name)
+
+    def save(self, state: TrainState, epoch: int, is_best: bool = False):
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "epoch": epoch,
+            "step": state.step,
+        }
+        path = self._path("checkpoint")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._saver.save(path, payload)
+        self._saver.wait_until_finished()
+        if is_best:
+            best = self._path("model_best")
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            shutil.copytree(path, best)
+
+    def restore(
+        self,
+        state: TrainState,
+        name: str = "checkpoint",
+        skip_logits: bool = False,
+        logits_keys: tuple = ("logits", "end_fc", "fc", "gap_conv"),
+    ) -> tuple[TrainState, int]:
+        """Restore into ``state``; with ``skip_logits`` the classifier-head
+        params keep their fresh values (class-count transfer,
+        train_i3d_smth.py:76-88). Returns (state, start_epoch)."""
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "epoch": 0,
+            "step": 0,
+        }
+        restored = self._saver.restore(self._path(name), template)
+        params = restored["params"]
+        if skip_logits:
+            params = dict(params)
+            for k in logits_keys:
+                if k in state.params:
+                    params[k] = state.params[k]
+        new_state = state.replace(
+            params=params,
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+        return new_state, int(restored["epoch"]) + 1
+
+    def exists(self, name: str = "checkpoint") -> bool:
+        return os.path.exists(self._path(name))

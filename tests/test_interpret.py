@@ -1,0 +1,316 @@
+"""Parity tests for the interpretability engine vs the reference mask math."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ivf_tpu.interpret import (
+    find_mask,
+    find_submasks_from_mask,
+    freeze_perturb,
+    init_mask_central,
+    init_mask_random,
+    perturb_sequence,
+    reverse_perturb,
+    snap_mask,
+    tv_norm,
+)
+from ivf_tpu.interpret.gradcam import cam_from_activation, grad_cam
+from ivf_tpu.interpret.mask_opt import find_mask_batched
+
+
+@pytest.fixture(scope="module")
+def ref_mask(reference_pt_path):
+    import importlib
+
+    return importlib.import_module("mask")
+
+
+def _rand_seq(t=16, h=4, w=4, c=2, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randn(t, h, w, c).astype(np.float32)
+
+
+def _to_torch(seq):
+    # (T,H,W,C) -> torch (B=1, C, T, H, W)
+    return torch.from_numpy(seq.transpose(3, 0, 1, 2)[None])
+
+
+MASK_CASES = [
+    np.zeros(16, np.float32),
+    np.ones(16, np.float32),
+    np.linspace(0, 1, 16).astype(np.float32),
+    np.array([0, 0, 1, 1, 1, 0, 0, 0.5, 0.6, 0, 0.05, 1, 1, 1, 1, 1], np.float32),
+    np.array([1, 0.3, 0, 0, 0.2, 0.2, 0.2, 0, 0, 0, 0, 0, 0, 0, 0, 1], np.float32),
+]
+
+
+@pytest.mark.parametrize("mask", MASK_CASES, ids=range(len(MASK_CASES)))
+def test_freeze_perturb_parity(ref_mask, mask):
+    seq = _rand_seq()
+    ref = ref_mask.perturb_sequence(
+        _to_torch(seq), torch.from_numpy(mask), perturbation_type="freeze"
+    ).numpy()[0].transpose(1, 2, 3, 0)
+    ours = np.asarray(freeze_perturb(jnp.asarray(seq), jnp.asarray(mask)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mask", MASK_CASES, ids=range(len(MASK_CASES)))
+def test_reverse_perturb_parity(ref_mask, mask):
+    seq = _rand_seq(seed=1)
+    ref = ref_mask.perturb_sequence(
+        _to_torch(seq), torch.from_numpy(mask), perturbation_type="reverse"
+    ).numpy()[0].transpose(1, 2, 3, 0)
+    ours = np.asarray(reverse_perturb(jnp.asarray(seq), jnp.asarray(mask)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_reverse_perturb_random_masks(ref_mask):
+    rng = np.random.RandomState(7)
+    for trial in range(10):
+        t = rng.choice([8, 15, 16, 17])
+        mask = (rng.rand(t) * 1.2 - 0.1).clip(0, 1).astype(np.float32)
+        seq = _rand_seq(t=t, seed=100 + trial)
+        ref = ref_mask.perturb_sequence(
+            _to_torch(seq), torch.from_numpy(mask), perturbation_type="reverse"
+        ).numpy()[0].transpose(1, 2, 3, 0)
+        ours = np.asarray(reverse_perturb(jnp.asarray(seq), jnp.asarray(mask)))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6, err_msg=f"trial {trial}")
+
+
+def test_find_submasks_parity(ref_mask):
+    for mask in MASK_CASES:
+        ref = ref_mask.find_submasks_from_mask(torch.from_numpy(mask), 0.1)
+        ours = find_submasks_from_mask(mask, 0.1)
+        assert ref == ours
+
+
+@pytest.mark.parametrize("mask", MASK_CASES[1:], ids=range(len(MASK_CASES) - 1))
+def test_tv_norm_parity(ref_mask, mask):
+    ref = float(ref_mask.calc_tv_norm(torch.from_numpy(mask), p=3, q=3))
+    ours = float(tv_norm(jnp.asarray(mask), 3.0, 3.0))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_snap_mask():
+    m = jnp.asarray([0.2, 0.5, 0.51, 0.9])
+    np.testing.assert_array_equal(np.asarray(snap_mask(m)), [0, 0, 1, 1])
+
+
+# ---------------------------------------------------------------------------
+# A tiny temporally-sensitive score model implemented identically in torch
+# and jax so the full optimization trajectory can be compared.
+# ---------------------------------------------------------------------------
+
+
+def _make_score_pair(t=16, num_classes=5, seed=3):
+    rng = np.random.RandomState(seed)
+    w = rng.randn(num_classes, t).astype(np.float32) * 0.5
+
+    def score_jax(clip):  # (T, H, W, C) -> (num_classes,) softmax probs
+        frame_means = jnp.mean(clip, axis=(1, 2, 3))  # (T,)
+        logits = jnp.asarray(w) @ frame_means
+        return jax.nn.softmax(logits)
+
+    def score_torch(clip_t):  # torch (1, C, T, H, W) -> (1, num_classes)
+        frame_means = clip_t.mean(dim=(0, 1, 3, 4)) if clip_t.dim() == 5 else None
+        frame_means = clip_t[0].mean(dim=(0, 2, 3))  # (T,)
+        logits = torch.from_numpy(w) @ frame_means
+        return torch.softmax(logits, dim=0)[None]
+
+    return score_jax, score_torch
+
+
+@pytest.mark.parametrize("perturbation_type", ["freeze", "reverse"])
+def test_find_mask_full_trajectory_parity(ref_mask, perturbation_type):
+    """300-step Adam mask optimization: ours vs a torch replica of the
+    reference loop (FindMasksComparison_I3D_smth.py:188-214) using the
+    reference's own perturb/TV functions."""
+    t, n_steps, lam1, lam2 = 16, 60, 0.01, 0.02
+    seq = _rand_seq(t=t, seed=5)
+    score_jax, score_torch = _make_score_pair(t=t)
+    target = 2
+    init_logits = np.where(
+        (np.arange(t) >= 3) & (np.arange(t) < t - 3), 5.0, -5.0
+    ).astype(np.float32)
+
+    # --- torch replica of the reference loop ---
+    seq_t = _to_torch(seq)
+    time_mask = torch.tensor(init_logits, requires_grad=True)
+    optimizer = torch.optim.Adam([time_mask], lr=0.2)
+    for _ in range(n_steps):
+        mask_clip = torch.sigmoid(time_mask)
+        l1 = lam1 * torch.sum(torch.abs(mask_clip))
+        tv = lam2 * ref_mask.calc_tv_norm(mask_clip, p=3, q=3)
+        class_score = score_torch(
+            ref_mask.perturb_sequence(
+                seq_t, mask_clip, perturbation_type=perturbation_type
+            )
+        )[0, target]
+        loss = l1 + tv + class_score
+        optimizer.zero_grad()
+        loss.backward()
+        optimizer.step()
+    ref_final_mask = torch.sigmoid(time_mask).detach().numpy()
+    ref_final_loss = float(loss)
+
+    # --- ours ---
+    res = find_mask(
+        score_jax,
+        jnp.asarray(seq),
+        target,
+        jnp.asarray(init_logits),
+        n_steps=n_steps,
+        lam1=lam1,
+        lam2=lam2,
+        perturbation_type=perturbation_type,
+    )
+    np.testing.assert_allclose(np.asarray(res.mask), ref_final_mask, rtol=1e-3, atol=1e-4)
+    # our final loss is recomputed AT the final mask; the torch loop's last
+    # recorded loss is pre-final-step — recompute the torch loss at the
+    # final mask for an apples-to-apples check
+    with torch.no_grad():
+        m = torch.sigmoid(time_mask)
+        final_ref_loss = float(
+            lam1 * torch.sum(torch.abs(m))
+            + lam2 * ref_mask.calc_tv_norm(m, p=3, q=3)
+            + score_torch(
+                ref_mask.perturb_sequence(seq_t, m, perturbation_type=perturbation_type)
+            )[0, target]
+        )
+    np.testing.assert_allclose(float(res.loss), final_ref_loss, rtol=1e-4)
+    assert int(res.n_steps_run) == n_steps
+    # the reference's "reverse score" of the found mask
+    with torch.no_grad():
+        rev_ref = float(
+            score_torch(ref_mask.perturb_sequence(seq_t, m, perturbation_type="reverse"))[
+                0, target
+            ]
+        )
+    np.testing.assert_allclose(float(res.reverse_score), rev_ref, rtol=1e-4)
+
+
+def test_find_mask_early_stop_freezes_updates():
+    t = 8
+    seq = _rand_seq(t=t, seed=9)
+    score_jax, _ = _make_score_pair(t=t)
+    # non-constant init: a constant mask NaNs the TV-norm gradient, exactly
+    # as in the reference (mask.py:163-165 nudges random inits for this)
+    init = jnp.asarray(np.where(np.arange(t) % 2 == 0, 1.0, -1.0), jnp.float32)
+    res = find_mask(
+        score_jax, jnp.asarray(seq), 0, init, n_steps=50, early_stop=True, eta=1e-2
+    )
+    assert int(res.n_steps_run) < 50
+
+
+def test_find_mask_batched_vmap():
+    t, b = 8, 4
+    score_jax, _ = _make_score_pair(t=t)
+    seqs = jnp.asarray(np.stack([_rand_seq(t=t, seed=i) for i in range(b)]))
+    targets = jnp.asarray([0, 1, 2, 3])
+    inits = jnp.zeros((b, t))
+    res = find_mask_batched(score_jax, seqs, targets, inits, n_steps=10)
+    assert res.mask.shape == (b, t)
+    # batched result equals per-clip result
+    single = find_mask(score_jax, seqs[1], 1, inits[1], n_steps=10)
+    np.testing.assert_allclose(
+        np.asarray(res.mask[1]), np.asarray(single.mask), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_init_mask_central_semantics():
+    """Mirror of the reference central init (mask.py:121-154) on a stub
+    score function where the expected choice is computable by hand."""
+    t = 16
+    seq = _rand_seq(t=t, seed=11)
+
+    # score = 1 - fraction-of-frames-frozen-ish: make score drop grow with
+    # mask size so a specific candidate crosses the 0.9 ratio
+    def score_fn(clip):
+        # sensitive to how much the clip deviates from the original
+        diff = jnp.mean(jnp.abs(clip - jnp.asarray(seq)))
+        s = 1.0 - diff  # decreasing in perturbation strength
+        return jnp.stack([s, 1.0 - s])
+
+    logits = init_mask_central(score_fn, jnp.asarray(seq), 0, threshold=0.9)
+    assert logits.shape == (t,)
+    assert set(np.unique(np.asarray(logits))).issubset({-5.0, 5.0})
+    # centered structure: symmetric zeros at the edges
+    m01 = (np.asarray(logits) > 0).astype(int)
+    left_zeros = np.argmax(m01) if m01.any() else t
+    right_zeros = np.argmax(m01[::-1]) if m01.any() else t
+    assert left_zeros == right_zeros >= 1
+
+    # reference replica on the same stub
+    def probe(mask01):
+        pert = perturb_sequence(jnp.asarray(seq), jnp.asarray(mask01), "freeze")
+        return float(score_fn(pert)[0])
+
+    orig = float(score_fn(jnp.asarray(seq))[0])
+    frozen = float(score_fn(jnp.broadcast_to(seq[0], seq.shape))[0])
+    chosen = None
+    for i in range(1, t // 2):
+        new_mask = np.ones(t, np.float32)
+        new_mask[:i] = 0
+        new_mask[-i:] = 0
+        ratio = (orig - probe(new_mask)) / (orig - frozen)
+        chosen = new_mask
+        if ratio < 0.9:
+            break
+    expected = np.where(chosen == 0, -5.0, 5.0)
+    np.testing.assert_array_equal(np.asarray(logits), expected)
+
+
+def test_init_mask_random_statistics():
+    key = jax.random.PRNGKey(0)
+    logits = init_mask_random(key, 16)
+    vals = np.asarray(logits)
+    assert set(np.round(np.abs(vals), 1)).issubset({2.5, 2.4, 2.6})
+    # ~30% on (the reference's code behavior, not its docstring)
+    many = np.mean(
+        [np.mean(np.asarray(init_mask_random(jax.random.PRNGKey(i), 16)) > 0) for i in range(50)]
+    )
+    assert 0.2 < many < 0.4
+
+
+def test_cam_from_activation_matches_reference_math():
+    """Numpy mirror of grad_cam_videos.py:98-135 (global weights, sequence
+    normalization)."""
+    rng = np.random.RandomState(0)
+    act = rng.randn(2, 4, 5, 3).astype(np.float32)  # (T',H',W',C)
+    grads = rng.randn(2, 4, 5, 3).astype(np.float32)
+    clip_len, hw = 8, (4, 5)  # same spatial size => resize is identity
+
+    weights = grads.mean(axis=(0, 1, 2))
+    cam_ref = np.maximum((act * weights).sum(-1), 0)  # (T',H,W)
+    cam_ref = np.repeat(cam_ref, clip_len // 2, axis=0)
+    cam_ref = cam_ref - cam_ref.min()
+    cam_ref = cam_ref / cam_ref.max()
+
+    ours = np.asarray(
+        cam_from_activation(jnp.asarray(act), jnp.asarray(grads), clip_len, hw)
+    )
+    np.testing.assert_allclose(ours, cam_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_grad_cam_end_to_end_finite_difference():
+    """grad_cam's gradient wrt the activation matches finite differences of
+    the head, and target_index=None picks the argmax class."""
+    rng = np.random.RandomState(1)
+    w = jnp.asarray(rng.randn(6, 3).astype(np.float32))
+
+    def features_fn(clip):  # (T=4,H=4,W=4,C=3) -> (T'=2,H'=2,W'=2,C=3)
+        pooled = clip.reshape(2, 2, 2, 2, 2, 2, 3).mean(axis=(1, 3, 5))
+        return pooled
+
+    def head_fn(act):
+        return jax.nn.softmax(w @ jnp.mean(act, axis=(0, 1, 2)))
+
+    clip = jnp.asarray(rng.randn(4, 4, 4, 3).astype(np.float32))
+    cam, scores = grad_cam(features_fn, head_fn, clip)
+    assert cam.shape == (4, 4, 4)
+    assert float(cam.min()) == 0.0 and float(cam.max()) == 1.0
+    assert scores.shape == (6,)

@@ -1,0 +1,222 @@
+"""Train-loop tests: optimizer parity vs torch, smoke training on synthetic
+data, plateau schedules, checkpoint round-trip, 8-device data parallelism."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ivf_tpu.models import CNN3D, ConvLSTMClassifier
+from ivf_tpu.parallel import get_mesh, shard_batch, replicate
+from ivf_tpu.train import (
+    ReduceLROnPlateau,
+    PatienceHalving,
+    build_optimizer,
+    create_train_state,
+    evaluate,
+    fit,
+    make_eval_step,
+    make_train_step,
+    topk_accuracy,
+)
+from ivf_tpu.train.optim import get_learning_rate, set_learning_rate
+
+
+def test_topk_accuracy_matches_reference_semantics():
+    logits = jnp.asarray(
+        [[0.1, 0.9, 0.0, 0.0], [0.8, 0.1, 0.05, 0.05], [0.0, 0.0, 0.3, 0.7]]
+    )
+    labels = jnp.asarray([1, 2, 2])
+    top1, top2 = topk_accuracy(logits, labels, (1, 2))
+    np.testing.assert_allclose(float(top1), 100.0 / 3)
+    np.testing.assert_allclose(float(top2), 200.0 / 3)
+
+
+@pytest.mark.parametrize("name", ["sgd", "adam"])
+def test_optimizer_parity_vs_torch(name):
+    """Same quadratic objective, same hyperparams: trajectories match."""
+    w0 = np.array([1.0, -2.0, 3.0], np.float32)
+    lr, momentum, wd = 0.1, 0.9, 0.01
+
+    wt = torch.tensor(w0, requires_grad=True)
+    if name == "sgd":
+        opt_t = torch.optim.SGD([wt], lr=lr, momentum=momentum, weight_decay=wd)
+    else:
+        opt_t = torch.optim.Adam([wt], lr=lr, weight_decay=wd)
+    for _ in range(12):
+        loss = (wt**2).sum()
+        opt_t.zero_grad()
+        loss.backward()
+        opt_t.step()
+
+    tx = build_optimizer(name, lr, momentum=momentum, weight_decay=wd)
+    wj = jnp.asarray(w0)
+    opt_state = tx.init(wj)
+    grad_fn = jax.grad(lambda w: jnp.sum(w**2))
+    for _ in range(12):
+        g = grad_fn(wj)
+        updates, opt_state = tx.update(g, opt_state, wj)
+        wj = wj + jax.tree.map(lambda u: u, updates)
+    np.testing.assert_allclose(
+        np.asarray(wj), wt.detach().numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_lr_injection():
+    tx = build_optimizer("adam", 0.01)
+    state = tx.init(jnp.zeros(3))
+    assert get_learning_rate(state) == pytest.approx(0.01)
+    state = set_learning_rate(state, 0.005)
+    assert get_learning_rate(state) == pytest.approx(0.005)
+
+
+def test_reduce_lr_on_plateau_torch_semantics():
+    s = ReduceLROnPlateau(lr=1.0, factor=0.5, patience=2)
+    lrs = [s.step(m) for m in [1.0, 0.9, 0.9, 0.9, 0.9, 0.8, 0.8, 0.8, 0.8]]
+    # epochs 2,3,4 are bad (0.9 not better) -> reduce after 3rd bad
+    assert lrs[:4] == [1.0, 1.0, 1.0, 1.0]
+    assert lrs[4] == 0.5
+
+
+def test_patience_halving():
+    s = PatienceHalving(lr=0.1, patience=2, lr_end=1e-3)
+    out = [s.step(m) for m in [0.5, 0.5, 0.5, 0.6, 0.6, 0.6]]
+    assert out[2] == 0.05  # two bad epochs after the best
+    assert out[-1] == 0.025
+
+
+def _synthetic_clips(n, t=4, hw=16, c=3, classes=3, seed=0):
+    """Class-separable synthetic clips: class k has brightness ~ k."""
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, classes, n)
+    clips = rng.randn(n, t, hw, hw, c).astype(np.float32) * 0.1
+    clips += labels[:, None, None, None, None].astype(np.float32)
+    return clips, labels.astype(np.int32)
+
+
+def _batches(clips, labels, bs):
+    for i in range(0, len(clips), bs):
+        yield jnp.asarray(clips[i : i + bs]), jnp.asarray(labels[i : i + bs])
+
+
+def test_train_smoke_loss_decreases():
+    model = ConvLSTMClassifier(
+        num_classes=3,
+        nb_lstm_units=4,
+        lstm_layers=1,
+        conv_kernel_size=3,
+        effective_steps=(3,),
+        batch_norm=True,
+    )
+    clips, labels = _synthetic_clips(32)
+    tx = build_optimizer("adam", 0.01)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.asarray(clips[:2]), tx
+    )
+    train_step = make_train_step()
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for epoch in range(4):
+        for clips_b, labels_b in _batches(clips, labels, 8):
+            state, metrics = train_step(state, clips_b, labels_b, rng)
+            losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    # batch_stats were updated
+    assert state.batch_stats is not None
+
+    eval_step = make_eval_step()
+    res = evaluate(
+        state, _batches(clips, labels, 8), eval_step, collect_predictions=True
+    )
+    assert res["top1"] > 50.0
+    assert res["y_true"].shape == (32,)
+    assert res["y_hat_top5"].shape[1] == 3 or res["y_hat_top5"].shape[1] == 5
+
+
+def test_fit_with_scheduler_and_checkpoint(tmp_path):
+    from ivf_tpu.utils.checkpoint import Checkpointer
+
+    model = CNN3D(num_classes=3, dropout_rate=0.0)
+    clips, labels = _synthetic_clips(16, t=4, hw=32)
+    tx = build_optimizer("sgd", 0.05, momentum=0.9)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.asarray(clips[:2]), tx
+    )
+    ckpt = Checkpointer(str(tmp_path / "run"))
+    sched = ReduceLROnPlateau(lr=0.05)
+    state, history = fit(
+        state,
+        lambda: _batches(clips, labels, 8),
+        lambda: _batches(clips, labels, 8),
+        num_epochs=2,
+        scheduler=sched,
+        checkpointer=ckpt,
+        print_freq=0,
+    )
+    assert len(history) == 2
+    assert ckpt.exists("checkpoint") and ckpt.exists("model_best")
+
+    # restore round-trip
+    state2 = create_train_state(
+        model, jax.random.PRNGKey(9), jnp.asarray(clips[:2]), tx
+    )
+    restored, start_epoch = ckpt.restore(state2)
+    assert start_epoch == 2
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        restored.params,
+        state.params,
+    )
+
+    # partial restore skipping the classifier head (class-count transfer)
+    state3 = create_train_state(
+        model, jax.random.PRNGKey(11), jnp.asarray(clips[:2]), tx
+    )
+    fresh_fc = jax.tree.map(np.asarray, state3.params["fc"])
+    restored3, _ = ckpt.restore(state3, skip_logits=True)
+    np.testing.assert_allclose(
+        np.asarray(restored3.params["fc"]["kernel"]), fresh_fc["kernel"]
+    )
+
+
+def test_data_parallel_8_devices_matches_single():
+    """Same batch, sharded over the 8-device mesh vs single device: identical
+    loss and updates (XLA collectives == DataParallel semantics)."""
+    assert jax.device_count() >= 8
+    model = ConvLSTMClassifier(
+        num_classes=3,
+        nb_lstm_units=4,
+        lstm_layers=1,
+        conv_kernel_size=3,
+        effective_steps=(3,),
+        batch_norm=False,
+    )
+    clips, labels = _synthetic_clips(16)
+    tx = build_optimizer("adam", 0.01)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.asarray(clips[:2]), tx
+    )
+    train_step = make_train_step(donate=False)
+    rng = jax.random.PRNGKey(1)
+
+    mesh = get_mesh(8)
+    state_r = replicate(state, mesh)
+    clips_s, labels_s = shard_batch(
+        (jnp.asarray(clips), jnp.asarray(labels)), mesh
+    )
+    new_sharded, m_sharded = train_step(state_r, clips_s, labels_s, rng)
+    new_single, m_single = train_step(
+        state, jnp.asarray(clips), jnp.asarray(labels), rng
+    )
+    np.testing.assert_allclose(
+        float(m_sharded["loss"]), float(m_single["loss"]), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        new_sharded.params,
+        new_single.params,
+    )
