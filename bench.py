@@ -1,0 +1,99 @@
+"""Benchmark — temporal-mask optimization throughput on real TPU hardware.
+
+Headline metric (BASELINE.md): mask-optimization steps/second, where one
+step = one Adam update of a 16-frame 224x224 clip's temporal mask = one
+full I3D forward + backward + the freeze-perturbation scan. The reference
+(FindMasksComparison_I3D_smth.py) runs these strictly one clip at a time;
+this framework vmaps the whole search across clips.
+
+``vs_baseline`` is the measured speedup of the vmapped batch search over
+the reference's sequential one-clip-at-a-time schedule on the *same chip*
+(the repo publishes no numbers — SURVEY.md §6 — so same-hardware
+sequential-vs-vmapped is the honest apples-to-apples ratio).
+
+Timing notes for this environment: the axon tunnel memoizes identical
+executions and per-call latency is ~50ms, so all measurement loops run
+*inside* one jit (lax.scan varying the input per iteration) and results are
+fetched as scalars.
+"""
+
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build(batch_size: int, n_steps: int, t: int = 16, hw: int = 224):
+    from ivf_tpu.interpret.mask_opt import find_mask
+    from ivf_tpu.models import i3d_smth
+
+    model = i3d_smth(num_classes=174, dropout_rate=0.0, softmax=True)
+    key = jax.random.PRNGKey(0)
+    clips = jax.random.normal(key, (batch_size, t, hw, hw, 3), jnp.float32)
+    variables = jax.jit(model.init)(key, clips[:1])
+    score_fn = lambda clip: model.apply(variables, clip[None], train=False)[0]
+
+    targets = jnp.arange(batch_size, dtype=jnp.int32) % 174
+    inits = jnp.tile(
+        jnp.where(jnp.arange(t) % 2 == 0, 1.0, -1.0)[None], (batch_size, 1)
+    )
+
+    searcher = jax.vmap(partial(find_mask, score_fn, n_steps=n_steps))
+
+    @jax.jit
+    def run(clips, targets, inits, salt):
+        # salt varies the input so remote execution memoization can't fire
+        res = searcher(clips + salt * 1e-6, targets, inits)
+        return jnp.sum(res.mask) + jnp.sum(res.loss)
+
+    return run, (clips, targets, inits)
+
+
+def timed(run, args, salt0: float) -> float:
+    t0 = time.time()
+    out = float(run(*args, jnp.float32(salt0)))
+    assert np.isfinite(out)
+    return time.time() - t0
+
+
+def main():
+    batch, n_steps = 16, 30
+    run_b, args_b = build(batch, n_steps)
+    timed(run_b, args_b, 0.0)  # compile + warm
+    dt_b = min(timed(run_b, args_b, 1.0), timed(run_b, args_b, 2.0))
+    batched_sps = batch * n_steps / dt_b
+
+    # reference-style sequential schedule: one clip per call
+    run_s, args_s = build(1, n_steps)
+    timed(run_s, args_s, 0.0)
+    dt_s = min(timed(run_s, args_s, 1.0), timed(run_s, args_s, 2.0))
+    sequential_sps = n_steps / dt_s
+
+    result = {
+        "metric": "temporal_mask_opt_steps_per_sec_per_chip",
+        "value": round(batched_sps, 2),
+        "unit": "mask-steps/s (1 step = I3D fwd+bwd on 16x224x224, batch 16 vmapped)",
+        "vs_baseline": round(batched_sps / sequential_sps, 2),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "detail": "sequential (reference-style) steps/s",
+                "value": round(sequential_sps, 2),
+                "batched_seconds_per_clip_300steps": round(
+                    300.0 / (batched_sps / batch), 2
+                ),
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Command-line interface — ``python -m ivf_tpu.cli <command>``.
+
+Entry points mirroring the reference's script surface (SURVEY.md §7):
+  train          <- python train_*.py -c config
+  infer          <- python inference_*.py
+  find-masks     <- python FindMasksComparison_*.py / mask/find_mask_*.py
+  grad-cam       <- grad-cam-only pass
+  make-records   <- tfrecords/script_generate_tfrecords_*.py
+  extract-frames <- create_folders_and_extract_frames.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ivf_tpu.config import Config, add_cli_overrides, apply_cli_overrides
+
+
+def _load_cfg(args) -> Config:
+    cfg = Config.load(args.config) if args.config else Config()
+    cfg = apply_cli_overrides(cfg, args)
+    if getattr(args, "test_run", False):
+        cfg.test_run = True
+    return cfg
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="ivf_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def common(p):
+        p.add_argument("--config", "-c", help="config .py (exposing `config`) or .json")
+        p.add_argument("--test_run", action="store_true", help="5-step smoke mode")
+        p.add_argument("--checkpoint", "-chp", help="checkpoint path")
+        add_cli_overrides(p)
+        return p
+
+    common(sub.add_parser("train")).add_argument(
+        "--eval_only", "-e", action="store_true"
+    )
+    sub.choices["train"].add_argument("--resume", "-r", action="store_true")
+    common(sub.add_parser("infer"))
+    p = common(sub.add_parser("find-masks"))
+    p.add_argument("--no-gradcam", action="store_true")
+    p.add_argument("--no-temp-mask", action="store_true")
+    common(sub.add_parser("grad-cam"))
+
+    p = sub.add_parser("make-records")
+    p.add_argument("--frames-root", required=True, help="root of frame dirs")
+    p.add_argument("--out", required=True, help="output .ivfrecords path")
+    p.add_argument("--nb-frames", type=int, default=16)
+    p.add_argument(
+        "--mode",
+        choices=["all", "sample", "sample_cohesive_crop"],
+        default="sample",
+    )
+
+    p = sub.add_parser("extract-frames")
+    p.add_argument("--json-input", required=True)
+    p.add_argument("--json-labels", required=True)
+    p.add_argument("--video-root", required=True)
+    p.add_argument("--out-root", required=True)
+    p.add_argument("--nb-frames", type=int, default=16)
+    p.add_argument("--width", type=int, default=256)
+
+    args = parser.parse_args(argv)
+
+    if args.command == "train":
+        from ivf_tpu.api import train
+
+        cfg = _load_cfg(args)
+        if args.checkpoint:
+            cfg.model.pretrained_model_path = args.checkpoint
+        train(cfg, eval_only=args.eval_only, resume=args.resume)
+    elif args.command == "infer":
+        from ivf_tpu.api import infer, train
+
+        cfg = _load_cfg(args)
+        if args.checkpoint:
+            cfg.model.pretrained_model_path = args.checkpoint
+        state, _ = train(cfg, eval_only=True)
+    elif args.command == "find-masks":
+        from ivf_tpu.api import build_model, find_masks, train
+
+        cfg = _load_cfg(args)
+        if args.checkpoint:
+            cfg.model.pretrained_model_path = args.checkpoint
+        # materialize variables via the training-state loader
+        import jax
+        import jax.numpy as jnp
+
+        from ivf_tpu.api import _clip_hw, _load_pretrained
+        from ivf_tpu.train import build_optimizer, create_train_state
+
+        model = build_model(cfg, softmax_override=True)
+        sample = jnp.zeros((1, cfg.data.clip_size, *_clip_hw(cfg), 3))
+        state = create_train_state(
+            model,
+            jax.random.PRNGKey(cfg.seed),
+            sample,
+            build_optimizer("adam", 1e-3),
+        )
+        if cfg.model.pretrained_model_path not in ("", "no_ckpt", None):
+            state = _load_pretrained(cfg, model, state)
+        find_masks(
+            cfg,
+            state.variables(),
+            do_gradcam=not args.no_gradcam,
+            run_temp_mask=not args.no_temp_mask,
+            max_batches=1 if cfg.test_run else None,
+        )
+    elif args.command == "grad-cam":
+        print("use find-masks --no-temp-mask for a gradcam-only pass")
+        sys.exit(2)
+    elif args.command == "make-records":
+        _make_records(args)
+    elif args.command == "extract-frames":
+        from ivf_tpu.data.catalogs import SmthSmthCatalog
+        from ivf_tpu.data.frames import extract_dataset
+
+        cat = SmthSmthCatalog(
+            args.json_input, args.json_labels, args.video_root, ".webm"
+        )
+        extract_dataset(cat.items, args.out_root, args.nb_frames, args.width)
+
+
+def _make_records(args):
+    import numpy as np
+
+    from ivf_tpu.data import (
+        FrameDirDataset,
+        RecordWriter,
+        sample_all,
+        sample_cohesive_crop,
+        sample_fixed_count,
+    )
+
+    ds = FrameDirDataset(args.frames_root, clip_size=1, get_item_id=True)
+    import os
+
+    with RecordWriter(args.out) as w:
+        for item in ds.catalog.items:
+            frame_files = sorted(
+                f for f in os.listdir(item.path) if f.endswith(".jpg")
+            )
+            n = len(frame_files)
+            if args.mode == "all":
+                idxs = sample_all(1, n)
+            elif args.mode == "sample":
+                idxs = sample_fixed_count(1, n, args.nb_frames)
+            else:
+                idxs = sample_cohesive_crop(1, n, args.nb_frames)
+            from ivf_tpu.data.loaders import _load_frame
+
+            frames = np.stack(
+                [
+                    _load_frame(os.path.join(item.path, f"frame{i:02d}.jpg"))
+                    for i in idxs
+                ]
+            )
+            w.write(frames, label=int(item.label), video_id=item.id)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,271 @@
+"""Unified configuration — one dataclass tree replacing both reference
+config systems.
+
+The reference has two flag systems (SURVEY.md §5): python-dict config
+modules + ~30 argparse overrides in the torch half
+(``video_features_pytorch/utils.py:12-122``, ``configs/config_*.py``) and
+``tf.app.flags`` in the TF half (``configs/config_train_*_clstm.py``).
+``Config.from_dict`` accepts the torch half's dict keys verbatim (so the
+reference's config modules load unchanged), and ``add_cli_overrides`` /
+``apply_cli_overrides`` mirror the reference flag names.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import importlib.util
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass
+class DataConfig:
+    data_folder: str = ""
+    json_data_train: str = ""
+    json_data_val: str = ""
+    json_data_test: str = ""
+    json_file_labels: str = ""
+    input_mode: str = "jpg"  # jpg | records
+    record_paths: Tuple[str, ...] = ()
+    clip_size: int = 16
+    input_spatial_size: int = 224
+    batch_size: int = 16
+    num_workers: int = 8
+    shuffle: bool = True
+    upscale_factor_train: float = 1.4
+    upscale_factor_eval: float = 1.0
+    step_size_train: int = 1
+    step_size_val: int = 1
+    nclips_train: int = 1
+    nclips_val: int = 1
+
+
+@dataclass
+class ModelConfig:
+    conv_model: str = "i3d_smth"  # registry name or reference alias
+    num_classes: int = 174
+    soft_max: bool = False
+    last_relu: Optional[str] = None
+    last_stride: int = 1
+    stride_mod_layers: Tuple[str, ...] = ()
+    final_temp_time: int = 2
+    dropout: float = 0.5
+    # ConvLSTM-specific
+    clstm_hidden: int = 32
+    clstm_layers: int = 4
+    conv_stride: int = 1
+    batch_norm: bool = True
+    use_entire_seq: bool = False
+    conv_kernel_size: int = 5
+    pool_kernel: Tuple[int, int] = (2, 2)
+    effective_steps: Tuple[int, ...] = ()
+    pretrained_model_path: str = "no_ckpt"
+    compute_dtype: str = "float32"  # float32 | bfloat16
+
+
+@dataclass
+class OptimConfig:
+    optimizer: str = "ADAM"
+    lr: float = 0.008
+    last_lr: float = 1e-5
+    momentum: float = 0.9
+    weight_decay: float = 1e-5
+    num_epochs: int = 1
+    print_freq: int = 4
+    lr_factor: float = 0.5
+    lr_patience: int = 2
+
+
+@dataclass
+class MaskConfig:
+    lam1: float = 0.01
+    lam2: float = 0.02
+    opt_iter: int = 300
+    opt_lr: float = 0.2
+    mask_init_type: str = "central"  # central | random
+    mask_perturb_type: str = "freeze"  # freeze | reverse
+    grad_cam_type: str = "guessed"  # guessed | true
+    class_oi: Optional[int] = None  # class-of-interest filter
+    subset_file: Optional[str] = None  # CSV of clip ids to process
+    top_layer: str = "Mixed_5c"
+    normalization_mode: str = "sequence"  # sequence | frame
+    eta: float = 1e-5
+    early_stop: bool = False  # reference's early stop is dead code; see
+    # interpret/mask_opt.py
+
+
+@dataclass
+class Config:
+    model_name: str = "model"
+    output_dir: str = "trained_models/"
+    split_type: str = "original"
+    test_run: bool = False  # 5-step smoke mode (TF --test_run yes)
+    seed: int = 0
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    mask: MaskConfig = field(default_factory=MaskConfig)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_dict(d: dict) -> "Config":
+        """Accept the torch half's flat config-dict keys verbatim."""
+        cfg = Config()
+        top = {
+            "model_name": "model_name",
+            "output_dir": "output_dir",
+            "splitType": "split_type",
+        }
+        sections = {
+            "data": cfg.data,
+            "model": cfg.model,
+            "optim": cfg.optim,
+            "mask": cfg.mask,
+        }
+        key_map = {
+            # data
+            "data_folder": ("data", "data_folder"),
+            "json_data_train": ("data", "json_data_train"),
+            "json_data_val": ("data", "json_data_val"),
+            "json_data_test": ("data", "json_data_test"),
+            "json_file_labels": ("data", "json_file_labels"),
+            "input_mode": ("data", "input_mode"),
+            "clip_size": ("data", "clip_size"),
+            "input_spatial_size": ("data", "input_spatial_size"),
+            "batch_size": ("data", "batch_size"),
+            "num_workers": ("data", "num_workers"),
+            "shuffle": ("data", "shuffle"),
+            "upscale_factor_train": ("data", "upscale_factor_train"),
+            "upscale_factor_eval": ("data", "upscale_factor_eval"),
+            "step_size_train": ("data", "step_size_train"),
+            "step_size_val": ("data", "step_size_val"),
+            "nclips_train": ("data", "nclips_train"),
+            "nclips_val": ("data", "nclips_val"),
+            # model
+            "conv_model": ("model", "conv_model"),
+            "num_classes": ("model", "num_classes"),
+            "soft_max": ("model", "soft_max"),
+            "last_relu": ("model", "last_relu"),
+            "last_stride": ("model", "last_stride"),
+            "final_temp_time": ("model", "final_temp_time"),
+            "dropout": ("model", "dropout"),
+            "clstm_hidden": ("model", "clstm_hidden"),
+            "clstm_layers": ("model", "clstm_layers"),
+            "conv_stride": ("model", "conv_stride"),
+            "batch_norm": ("model", "batch_norm"),
+            "pretrained_model_path": ("model", "pretrained_model_path"),
+            # optim
+            "optimizer": ("optim", "optimizer"),
+            "lr": ("optim", "lr"),
+            "last_lr": ("optim", "last_lr"),
+            "momentum": ("optim", "momentum"),
+            "weight_decay": ("optim", "weight_decay"),
+            "num_epochs": ("optim", "num_epochs"),
+            "print_freq": ("optim", "print_freq"),
+            # mask
+            "maskPerturbType": ("mask", "mask_perturb_type"),
+        }
+        for k, v in d.items():
+            if k in top:
+                setattr(cfg, top[k], v)
+            elif k in key_map:
+                sec, attr = key_map[k]
+                if k == "stride_mod_layers":
+                    continue
+                if k == "shuffle":
+                    v = bool(v)
+                if k == "soft_max":
+                    v = bool(v)
+                if k == "batch_norm":
+                    v = bool(v)
+                setattr(sections[sec], attr, v)
+            elif k == "stride_mod_layers":
+                # reference stores '' or 'A,B' strings
+                if isinstance(v, str):
+                    v = tuple(s for s in v.split(",") if s)
+                cfg.model.stride_mod_layers = tuple(v)
+            # unknown keys are ignored (reference configs carry extras like
+            # column_units / save_features that no code consumes)
+        return cfg
+
+    @staticmethod
+    def load(path: str) -> "Config":
+        """Load a config from a .py module exposing ``config`` (reference
+        utils.load_module semantics, utils.py:115-122) or a .json file."""
+        if path.endswith(".json"):
+            with open(path) as f:
+                return Config.from_dict(json.load(f))
+        spec = importlib.util.spec_from_file_location("user_config", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return Config.from_dict(mod.config)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+# ----------------------------------------------------------------------
+# CLI overrides — the reference's argparse surface (utils.py:12-91)
+# ----------------------------------------------------------------------
+
+_OVERRIDES = [
+    # (flag, short, dest (section.attr), type)
+    ("--learning_rate", "-lr", "optim.lr", float),
+    ("--batch_size", "-bs", "data.batch_size", int),
+    ("--optimizer", "-opt", "optim.optimizer", str),
+    ("--weight_decay", "-wd", "optim.weight_decay", float),
+    ("--momentum", "-mom", "optim.momentum", float),
+    ("--shuffle", "-sfl", "data.shuffle", int),
+    ("--batch_norm", "-bn", "model.batch_norm", int),
+    ("--num_workers", "-nwork", "data.num_workers", int),
+    ("--dropout", "-drop", "model.dropout", float),
+    ("--clstm_hidden", "-chu", "model.clstm_hidden", int),
+    ("--clstm_layers", "-chl", "model.clstm_layers", int),
+    ("--conv_stride", "-ccs", "model.conv_stride", int),
+    ("--final_temp_time", "-ftt", "model.final_temp_time", int),
+    ("--last_stride", "-ls", "model.last_stride", int),
+    ("--mod_stride_layers", "-msl", "model.stride_mod_layers", str),
+    ("--soft_max", "-sm", "model.soft_max", int),
+    ("--last_relu", "-lact", "model.last_relu", str),
+    ("--use_sequence", "-ues", "model.use_entire_seq", int),
+    ("--lam1", "-l1", "mask.lam1", float),
+    ("--lam2", "-l2", "mask.lam2", float),
+    ("--optIter", "-opti", "mask.opt_iter", int),
+    ("--maskInitType", "-mi", "mask.mask_init_type", str),
+    ("--classOI", "-coi", "mask.class_oi", int),
+    ("--subsetFile", "-sf", "mask.subset_file", str),
+    ("--gradCamType", "-gct", "mask.grad_cam_type", str),
+    ("--splitType", "-kths", "split_type", str),
+    ("--dataDir", "-dd", "data.data_folder", str),
+    ("--num_epochs", "-ne", "optim.num_epochs", int),
+    ("--num_classes", "-nc", "model.num_classes", int),
+    ("--clip_size", "-cs", "data.clip_size", int),
+]
+
+
+def add_cli_overrides(parser: argparse.ArgumentParser):
+    for flag, short, _dest, typ in _OVERRIDES:
+        parser.add_argument(flag, short, type=typ, default=None)
+    return parser
+
+
+def apply_cli_overrides(cfg: Config, args: argparse.Namespace) -> Config:
+    for flag, _short, dest, _typ in _OVERRIDES:
+        name = flag.lstrip("-")
+        val = getattr(args, name, None)
+        if val is None:
+            continue
+        if "." in dest:
+            sec, attr = dest.split(".")
+            target = getattr(cfg, sec)
+        else:
+            target, attr = cfg, dest
+        if attr == "stride_mod_layers" and isinstance(val, str):
+            val = tuple(s for s in val.split(",") if s)
+        current = getattr(target, attr)
+        if isinstance(current, bool):
+            val = bool(val)
+        setattr(target, attr, val)
+    return cfg

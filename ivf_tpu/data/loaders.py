@@ -1,0 +1,217 @@
+"""Runtime clip loading: parallel host JPEG decode -> device-resident batches.
+
+Replaces the torch DataLoader + worker-process pipeline
+(``train_i3d_smth.py:96-114``) and the TF fetch-then-feed double-copy
+anti-pattern (``train_kth.py:244-255``, see SURVEY.md §3.2): frames are
+decoded by a thread pool, assembled into pinned numpy batches, and
+``jax.device_put`` with a data-axis sharding — one host->HBM hop, then all
+preprocessing (scale/normalize) runs jitted on device.
+
+``FrameDirDataset`` mirrors ``ImLoader`` (data_loader_jpg.py): clip dirs of
+``frame01..frameNN.jpg``; ``KTHFrameDataset`` mirrors ``KTHImLoader``
+(data_loader_kth.py): numbered dirs + class.txt/label.txt. Both emit float32
+(T, H, W, C) clips of raw 0..255 values — the reference applies no
+normalization at load time.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _load_frame(path: str) -> np.ndarray:
+    from PIL import Image
+
+    im = Image.open(path)
+    arr = np.frombuffer(im.tobytes(), dtype=np.uint8)
+    return arr.reshape((im.size[1], im.size[0], 3))
+
+
+class FrameDirDataset:
+    """smth-smth-style ``root/<class>/<clip_id>/frameNN.jpg`` clips."""
+
+    def __init__(
+        self,
+        root: str,
+        clip_size: int = 16,
+        step_size: int = 1,
+        get_item_id: bool = False,
+    ):
+        from ivf_tpu.data.catalogs import FrameDirCatalog
+
+        self.catalog = FrameDirCatalog(root)
+        self.clip_size = clip_size
+        self.step_size = step_size
+        self.get_item_id = get_item_id
+
+    def __len__(self):
+        return len(self.catalog)
+
+    def __getitem__(self, index: int):
+        item = self.catalog.items[index]
+        frames = [
+            _load_frame(
+                os.path.join(item.path, f"frame{i * self.step_size + 1:02d}.jpg")
+            )
+            for i in range(self.clip_size)
+        ]
+        clip = np.asarray(frames, dtype=np.float32)
+        if self.get_item_id:
+            return clip, int(item.label), item.id
+        return clip, int(item.label)
+
+
+class KTHFrameDataset:
+    """KTH ``root/<idx>/frameNN.jpg`` + class.txt/label.txt clips."""
+
+    def __init__(self, root: str, clip_size: int = 32, get_item_id: bool = False):
+        self.root = root
+        self.clip_size = clip_size
+        self.get_item_id = get_item_id
+        self._n = len(
+            [d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))]
+        )
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, index: int):
+        base = os.path.join(self.root, str(index))
+        frames = [
+            _load_frame(os.path.join(base, f"frame{i + 1:02d}.jpg"))
+            for i in range(self.clip_size)
+        ]
+        clip = np.asarray(frames, dtype=np.float32)
+        with open(os.path.join(base, "class.txt")) as f:
+            label = int(f.readline())
+        if self.get_item_id:
+            with open(os.path.join(base, "label.txt")) as f:
+                tag = f.readline().strip()
+            return clip, label, tag
+        return clip, label
+
+
+class RecordDataset:
+    """Clips out of ivfrecords shards (see records.py)."""
+
+    def __init__(self, paths, clip_size: Optional[int] = None, get_item_id=False):
+        from ivf_tpu.data.records import RecordReader
+
+        self.reader = RecordReader(paths)
+        self.clip_size = clip_size
+        self.get_item_id = get_item_id
+
+    def __len__(self):
+        return len(self.reader)
+
+    def __getitem__(self, index: int):
+        meta, frames = self.reader.read(index)
+        clip = frames.astype(np.float32)
+        if self.clip_size is not None:
+            t = clip.shape[0]
+            if t >= self.clip_size:
+                clip = clip[: self.clip_size]
+            else:
+                pad = np.repeat(clip[-1:], self.clip_size - t, axis=0)
+                clip = np.concatenate([clip, pad], axis=0)
+        if self.get_item_id:
+            return clip, int(meta["label"]), meta["video_id"]
+        return clip, int(meta["label"])
+
+
+class ClipLoader:
+    """Batched, shuffled, prefetching loader over any indexable dataset.
+
+    Decodes with ``num_workers`` threads and keeps ``prefetch`` batches in
+    flight; with a mesh, batches are device_put with the data sharding so
+    the train step never waits on host transfers.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        seed: int = 0,
+        mesh=None,
+        to_device: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.seed = seed
+        self.mesh = mesh
+        self.to_device = to_device
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batch_indices(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self._epoch).shuffle(idx)
+        nb = len(self)
+        for b in range(nb):
+            sl = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            if len(sl):
+                yield sl
+
+    def _assemble(self, pool: ThreadPoolExecutor, indices) -> Tuple:
+        samples = list(pool.map(self.dataset.__getitem__, indices))
+        clips = np.stack([s[0] for s in samples])
+        labels = np.asarray([s[1] for s in samples], np.int32)
+        if len(samples[0]) == 3:
+            ids = [s[2] for s in samples]
+            return clips, labels, ids
+        return clips, labels
+
+    def _place(self, batch):
+        if not self.to_device:
+            return batch
+        import jax
+
+        if self.mesh is not None:
+            from ivf_tpu.parallel.mesh import data_sharding
+
+            sharding = data_sharding(self.mesh)
+            put = lambda x: jax.device_put(x, sharding)
+        else:
+            put = jax.device_put
+        placed = tuple(
+            put(x) if isinstance(x, np.ndarray) else x for x in batch
+        )
+        return placed
+
+    def __iter__(self) -> Iterator:
+        self._epoch += 1
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for indices in self._batch_indices():
+                    q.put(self._assemble(pool, indices))
+            q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield self._place(item)
+        t.join()

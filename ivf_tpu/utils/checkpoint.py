@@ -82,3 +82,15 @@ class Checkpointer:
 
     def exists(self, name: str = "checkpoint") -> bool:
         return os.path.exists(self._path(name))
+
+    def load_variables(self, name: str = "checkpoint") -> dict:
+        """Template-free restore of just the model variables — for
+        inference/mask-search consumers that don't care about the optimizer
+        state (the reference mask drivers likewise restore all-but-optimizer,
+        mask/find_mask_smth.py:301-313)."""
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(self._path(name))
+        out = {"params": restored["params"]}
+        if restored.get("batch_stats") is not None:
+            out["batch_stats"] = restored["batch_stats"]
+        return out

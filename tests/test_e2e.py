@@ -1,0 +1,164 @@
+"""End-to-end slice (SURVEY.md §7 minimum slice): synthetic frames ->
+config -> train -> infer -> find_masks (+ Grad-CAM + viz artifacts), all
+through the public api/cli surface on the CPU mesh."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ivf_tpu.api import build_model, find_masks, train
+from ivf_tpu.config import Config
+
+
+def _make_frame_tree(root, n_classes=2, clips_per_class=4, t=8, hw=32):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for split in ("train", "validation"):
+        for c in range(n_classes):
+            for k in range(clips_per_class):
+                d = os.path.join(str(root), split, str(c), f"clip{split}{c}_{k}")
+                os.makedirs(d)
+                for i in range(t):
+                    # class-dependent brightness so the model can learn
+                    arr = rng.randint(0, 100, (hw, hw, 3)) + c * 120
+                    Image.fromarray(arr.astype(np.uint8)).save(
+                        os.path.join(d, f"frame{i+1:02d}.jpg"), "JPEG"
+                    )
+
+
+@pytest.fixture(scope="module")
+def e2e_cfg(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    _make_frame_tree(root / "data")
+    cfg = Config.from_dict(
+        {
+            "model_name": "e2e_clstm",
+            "output_dir": str(root / "out"),
+            "data_folder": str(root / "data"),
+            "conv_model": "clstm",
+            "num_classes": 2,
+            "batch_size": 4,
+            "clip_size": 8,
+            "input_spatial_size": 32,
+            "clstm_hidden": 4,
+            "clstm_layers": 1,
+            "conv_stride": 1,
+            "batch_norm": True,
+            "dropout": 0.0,
+            "optimizer": "ADAM",
+            "lr": 0.005,
+            "num_epochs": 2,
+            "num_workers": 2,
+            "print_freq": 0,
+        }
+    )
+    cfg.model.effective_steps = (3, 7)
+    return cfg
+
+
+def test_e2e_train_and_eval(e2e_cfg):
+    state, history = train(e2e_cfg)
+    assert len(history) == 2
+    assert history[-1]["val"]["loss"] < history[0]["val"]["loss"] or (
+        history[-1]["val"]["top1"] >= history[0]["val"]["top1"]
+    )
+    # checkpoint artifacts
+    save_dir = os.path.join(e2e_cfg.output_dir, e2e_cfg.model_name)
+    assert os.path.isdir(os.path.join(save_dir, "checkpoint"))
+    assert os.path.isdir(os.path.join(save_dir, "model_best"))
+    assert os.path.exists(os.path.join(save_dir, "plots", "loss_plot.png"))
+
+    # keep state for the mask test via module attribute
+    test_e2e_train_and_eval.state = state
+
+
+def test_e2e_find_masks_with_gradcam(e2e_cfg):
+    state = test_e2e_train_and_eval.state
+    e2e_cfg.mask.opt_iter = 8
+    e2e_cfg.mask.lam1, e2e_cfg.mask.lam2 = 0.01, 0.02
+    tm_results, gc_results = find_masks(
+        e2e_cfg,
+        state.variables(),
+        max_batches=1,
+        save_viz=True,
+    )
+    assert len(tm_results) == 4 and len(gc_results) == 4
+    r = tm_results[0]
+    for key in (
+        "true_class",
+        "pred_class",
+        "video_id",
+        "time_mask",
+        "original_score_guess",
+        "original_score_true",
+        "freeze_score",
+        "reverse_score",
+    ):
+        assert key in r, key
+    assert r["time_mask"].shape == (8,)
+    assert np.all((r["time_mask"] >= 0) & (r["time_mask"] <= 1))
+    assert gc_results[0]["GCHeatMap"].shape == (8, 32, 32)
+
+    save_dir = os.path.join(e2e_cfg.output_dir, e2e_cfg.model_name)
+    results = os.listdir(os.path.join(save_dir, "results"))
+    assert any("allTimeMaskResults" in f for f in results)
+    assert any("allGradCamResults" in f for f in results)
+    # viz artifacts: triptych jpgs + gif + dot overlays
+    cam_root = os.path.join(save_dir, "cam_saved_images")
+    found_gif = False
+    for dirpath, _dirs, files in os.walk(cam_root):
+        if "mygif.gif" in files:
+            found_gif = True
+            assert any(f.startswith("img") and f.endswith(".jpg") for f in files)
+            assert any(f.startswith("casefreeze") for f in files)
+    assert found_gif
+
+
+def test_cli_make_records_and_train_on_records(tmp_path):
+    _make_frame_tree(tmp_path / "data", clips_per_class=2)
+    from ivf_tpu.cli import main
+
+    out = str(tmp_path / "train.ivfrecords")
+    main(
+        [
+            "make-records",
+            "--frames-root",
+            str(tmp_path / "data" / "train"),
+            "--out",
+            out,
+            "--nb-frames",
+            "8",
+            "--mode",
+            "all",
+        ]
+    )
+    from ivf_tpu.data.loaders import RecordDataset
+
+    ds = RecordDataset(out, clip_size=8)
+    assert len(ds) == 4
+    clip, label = ds[0]
+    assert clip.shape == (8, 32, 32, 3) and label in (0, 1)
+
+
+def test_i3d_find_masks_smoke(tmp_path):
+    """I3D path of find_masks on tiny synthetic clips (pool override)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = Config()
+    cfg.output_dir = str(tmp_path)
+    cfg.model_name = "i3d_smoke"
+    cfg.model.conv_model = "i3d_smth"
+    cfg.model.num_classes = 3
+    cfg.model.dropout = 0.0
+    cfg.data.clip_size = 8
+    cfg.data.input_spatial_size = 224
+    cfg.mask.opt_iter = 2
+
+    model = build_model(cfg, softmax_override=True)
+    # full I3D at 224 is slow on CPU — just check model construction wiring
+    assert model.num_classes == 3 and model.softmax
+    assert model.pool_shape is None
