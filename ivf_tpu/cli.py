@@ -56,6 +56,21 @@ def main(argv=None):
         default="sample",
     )
 
+    p = sub.add_parser("inspect-records")
+    p.add_argument("path", help=".ivfrecords file to inspect")
+    p.add_argument("--index", type=int, default=0)
+
+    p = sub.add_parser("make-kth-records")
+    p.add_argument("--labels-csv", required=True)
+    p.add_argument("--frames-root", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument(
+        "--mode",
+        choices=["all", "sample", "sample_cohesive_crop"],
+        default="sample",
+    )
+    p.add_argument("--nb-frames", type=int, default=32)
+
     p = sub.add_parser("extract-frames")
     p.add_argument("--json-input", required=True)
     p.add_argument("--json-labels", required=True)
@@ -115,6 +130,29 @@ def main(argv=None):
         sys.exit(2)
     elif args.command == "make-records":
         _make_records(args)
+    elif args.command == "inspect-records":
+        # manual data-verification utility (tfrecords/inspect_tfrecords.py)
+        from ivf_tpu.data.records import RecordReader
+
+        r = RecordReader(args.path)
+        meta, frames = r.read(args.index)
+        print(f"{len(r)} records in {args.path}")
+        print(f"record[{args.index}] meta: {meta}")
+        print(
+            f"frames: {frames.shape} dtype {frames.dtype} "
+            f"min {frames.min()} max {frames.max()}"
+        )
+    elif args.command == "make-kth-records":
+        from ivf_tpu.data.kth import write_kth_subject_records
+
+        paths = write_kth_subject_records(
+            args.labels_csv,
+            args.frames_root,
+            args.out,
+            mode=args.mode,
+            nb_frames=args.nb_frames,
+        )
+        print(f"wrote {len(paths)} subject shards to {args.out}")
     elif args.command == "extract-frames":
         from ivf_tpu.data.catalogs import SmthSmthCatalog
         from ivf_tpu.data.frames import extract_dataset

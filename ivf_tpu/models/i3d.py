@@ -72,10 +72,15 @@ class I3D(nn.Module):
     spatial_squeeze: bool = True
     pool_shape: Optional[Tuple[int, int, int]] = None
     temporal_mean: bool = False  # TF-variant head: mean logits over time
+    guided_relu: bool = False  # guided-backprop backward (same forward)
 
     def setup(self):
         if self.final_endpoint not in VALID_ENDPOINTS:
             raise ValueError(f"Unknown final endpoint {self.final_endpoint}")
+        if self.guided_relu:
+            from ivf_tpu.interpret.guided_backprop import guided_relu as act
+        else:
+            act = jax.nn.relu
         for name, kind, spec in _TRUNK:
             if kind == "conv":
                 st = self._layer_stride_t(name, spec["stride_t"])
@@ -86,10 +91,11 @@ class I3D(nn.Module):
                         spec["out"],
                         spec["kernel"],
                         (st, spec["stride_hw"], spec["stride_hw"]),
+                        activation=act,
                     ),
                 )
             elif kind == "mixed":
-                setattr(self, name, InceptionModule(spec["out"]))
+                setattr(self, name, InceptionModule(spec["out"], activation=act))
         if self.last_relu == "leaky":
             act = jax.nn.leaky_relu
         elif self.last_relu == "relu":

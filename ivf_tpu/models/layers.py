@@ -101,17 +101,19 @@ class InceptionModule(nn.Module):
     """
 
     out_channels: Sequence[int]
+    activation: Callable = jax.nn.relu
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         from ivf_tpu.ops.conv import max_pool3d_same
 
         oc = self.out_channels
-        b0 = Unit3D(oc[0], (1, 1, 1), name="b0")(x, train)
-        b1 = Unit3D(oc[1], (1, 1, 1), name="b1a")(x, train)
-        b1 = Unit3D(oc[2], (3, 3, 3), name="b1b")(b1, train)
-        b2 = Unit3D(oc[3], (1, 1, 1), name="b2a")(x, train)
-        b2 = Unit3D(oc[4], (3, 3, 3), name="b2b")(b2, train)
+        act = self.activation
+        b0 = Unit3D(oc[0], (1, 1, 1), activation=act, name="b0")(x, train)
+        b1 = Unit3D(oc[1], (1, 1, 1), activation=act, name="b1a")(x, train)
+        b1 = Unit3D(oc[2], (3, 3, 3), activation=act, name="b1b")(b1, train)
+        b2 = Unit3D(oc[3], (1, 1, 1), activation=act, name="b2a")(x, train)
+        b2 = Unit3D(oc[4], (3, 3, 3), activation=act, name="b2b")(b2, train)
         b3 = max_pool3d_same(x, (3, 3, 3), (1, 1, 1))
-        b3 = Unit3D(oc[5], (1, 1, 1), name="b3b")(b3, train)
+        b3 = Unit3D(oc[5], (1, 1, 1), activation=act, name="b3b")(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)

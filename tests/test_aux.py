@@ -1,0 +1,177 @@
+"""Aux subsystems: results persistence, guided backprop, KTH subject shards,
+profiling switches, inspect CLI."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_save_results_and_submission(tmp_path):
+    from ivf_tpu.utils.results import get_submission, save_results
+
+    logits = np.random.RandomState(0).randn(4, 7)
+    ids = ["a", "b", "c", "d"]
+    p1 = save_results(logits, None, [0, 1, 2, 3], ids, {0: "x"}, str(tmp_path), "m")
+    assert os.path.exists(p1)
+    p2 = get_submission(logits, ids, str(tmp_path), "m")
+    rows = open(p2).read().strip().split("\n")
+    assert len(rows) == 4
+    first = rows[0].split(";")
+    assert first[0] == "a" and len(first) == 6
+    assert int(first[1]) == int(np.argmax(logits[0]))
+
+
+def test_experimental_run_cleaner(tmp_path):
+    from ivf_tpu.utils.results import ExperimentalRunCleaner
+
+    d = tmp_path / "empty_run"
+    d.mkdir()
+    cleaner = ExperimentalRunCleaner(str(d))
+    with pytest.raises(SystemExit):
+        cleaner(None, None)
+    assert not d.exists()
+
+
+def test_guided_relu_vjp():
+    from ivf_tpu.interpret.guided_backprop import guided_relu
+
+    x = jnp.asarray([-1.0, 2.0, 3.0])
+    np.testing.assert_allclose(np.asarray(guided_relu(x)), [0, 2, 3])
+    # backward: pass only where input>0 AND grad>0
+    g = jax.grad(lambda x: jnp.sum(guided_relu(x) * jnp.asarray([1.0, -1.0, 1.0])))(x)
+    np.testing.assert_allclose(np.asarray(g), [0, 0, 1])
+
+
+def test_guided_backprop_i3d_smoke():
+    from ivf_tpu.interpret.guided_backprop import guided_backprop_i3d
+    from ivf_tpu.models.i3d import I3D
+
+    kwargs = dict(
+        num_classes=3,
+        dropout_rate=0.0,
+        pool_shape=(2, 2, 2),
+        final_endpoint="Logits",
+    )
+    model = I3D(**kwargs)
+    clip = jax.random.normal(jax.random.PRNGKey(0), (16, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(1), clip[None])
+    sal = guided_backprop_i3d(variables, clip, 1, **kwargs)
+    assert sal.shape == clip.shape
+    assert np.isfinite(np.asarray(sal)).all()
+    # guided-relu forward identical to plain forward
+    out_plain = model.apply(variables, clip[None])
+    guided = I3D(guided_relu=True, **kwargs)
+    out_guided = guided.apply(variables, clip[None])
+    np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_guided), rtol=1e-6)
+
+
+def _make_kth_frames(root, subjects=(1, 2), frames_per_clip=12):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for s in subjects:
+        clip = f"person{s:02d}_boxing_d1"
+        d = os.path.join(str(root), str(s), clip)
+        os.makedirs(d)
+        for i in range(1, frames_per_clip + 1):
+            Image.fromarray(
+                rng.randint(0, 255, (16, 20, 3), dtype=np.uint8)
+            ).save(os.path.join(d, f"frame{i:02d}.jpg"))
+        rows.append(
+            {
+                "subject": s,
+                "clip_name": clip,
+                "label": s % 6,
+                "1_start": 1,
+                "1_end": 6,
+                "2_start": 7,
+                "2_end": 12,
+                "3_start": "",
+                "3_end": "",
+                "4_start": "",
+                "4_end": "",
+            }
+        )
+    return rows
+
+
+def test_kth_subject_records_and_split(tmp_path):
+    from ivf_tpu.data.kth import subject_split_paths, write_kth_subject_records
+    from ivf_tpu.data.records import RecordReader
+
+    rows = _make_kth_frames(tmp_path / "frames")
+    csv_path = tmp_path / "labels.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+
+    out = tmp_path / "records"
+    paths = write_kth_subject_records(
+        str(csv_path),
+        str(tmp_path / "frames"),
+        str(out),
+        mode="sample",
+        nb_frames=4,
+        subjects=(1, 2),
+    )
+    assert len(paths) == 2
+    r = RecordReader(paths[0])
+    assert len(r) == 2  # 2 valid repetitions
+    meta, frames = r.read(0)
+    assert meta["subject"] == 1 and meta["repetition"] == 1
+    assert frames.shape == (4, 16, 20, 3)
+
+    clips_csv = tmp_path / "subjects_clips.csv"
+    with open(clips_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["subject", "nb_clips"])
+        w.writeheader()
+        for s in range(1, 26):
+            w.writerow({"subject": s, "nb_clips": 10 + s})
+    tr, va, n_tr, n_va = subject_split_paths(
+        str(out), [1], [2], str(clips_csv)
+    )
+    assert tr == [str(out / "kth_subject_1.ivfrecords")]
+    assert n_tr == 11 and n_va == 12
+
+    # training from per-subject records end-to-end via RecordDataset
+    from ivf_tpu.data.loaders import RecordDataset
+
+    ds = RecordDataset(tr + va, clip_size=4)
+    assert len(ds) == 4
+
+
+def test_profiling_utils(tmp_path):
+    from ivf_tpu.utils.profiling import StepTimer, detect_anomaly
+
+    t = StepTimer()
+    t.start()
+    t.stop(n_clips=8)
+    assert t.clips_per_sec > 0
+    assert "clips/sec" in t.report()
+
+    with detect_anomaly(True):
+        assert jax.config.jax_debug_nans
+        with pytest.raises(Exception):
+            jax.jit(lambda x: x / x)(jnp.float32(0.0))  # 0/0 -> NaN
+    assert not jax.config.jax_debug_nans
+
+
+def test_inspect_records_cli(tmp_path, capsys):
+    from ivf_tpu.cli import main
+    from ivf_tpu.data.records import RecordWriter
+
+    path = str(tmp_path / "x.ivfrecords")
+    with RecordWriter(path) as w:
+        w.write(
+            np.zeros((2, 8, 8, 3), np.uint8), label=3, video_id="vid9"
+        )
+    main(["inspect-records", path])
+    out = capsys.readouterr().out
+    assert "1 records" in out and "vid9" in out and "(2, 8, 8, 3)" in out
