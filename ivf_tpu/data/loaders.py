@@ -33,6 +33,11 @@ def _load_frame(path: str) -> np.ndarray:
     return arr.reshape((im.size[1], im.size[0], 3))
 
 
+def _read_bytes(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()
+
+
 class FrameDirDataset:
     """smth-smth-style ``root/<class>/<clip_id>/frameNN.jpg`` clips."""
 
@@ -66,6 +71,19 @@ class FrameDirDataset:
             return clip, int(item.label), item.id
         return clip, int(item.label)
 
+    def get_payloads(self, index: int):
+        """Raw JPEG bytes per frame — for the native batch-decode path."""
+        item = self.catalog.items[index]
+        payloads = [
+            _read_bytes(
+                os.path.join(item.path, f"frame{i * self.step_size + 1:02d}.jpg")
+            )
+            for i in range(self.clip_size)
+        ]
+        if self.get_item_id:
+            return payloads, int(item.label), item.id
+        return payloads, int(item.label)
+
 
 class KTHFrameDataset:
     """KTH ``root/<idx>/frameNN.jpg`` + class.txt/label.txt clips."""
@@ -96,6 +114,20 @@ class KTHFrameDataset:
             return clip, label, tag
         return clip, label
 
+    def get_payloads(self, index: int):
+        base = os.path.join(self.root, str(index))
+        payloads = [
+            _read_bytes(os.path.join(base, f"frame{i + 1:02d}.jpg"))
+            for i in range(self.clip_size)
+        ]
+        with open(os.path.join(base, "class.txt")) as f:
+            label = int(f.readline())
+        if self.get_item_id:
+            with open(os.path.join(base, "label.txt")) as f:
+                tag = f.readline().strip()
+            return payloads, label, tag
+        return payloads, label
+
 
 class RecordDataset:
     """Clips out of ivfrecords shards (see records.py)."""
@@ -124,6 +156,19 @@ class RecordDataset:
             return clip, int(meta["label"]), meta["video_id"]
         return clip, int(meta["label"])
 
+    def get_payloads(self, index: int):
+        meta, payloads = self.reader.read(index, decode=False)
+        if self.clip_size is not None:
+            if len(payloads) >= self.clip_size:
+                payloads = payloads[: self.clip_size]
+            else:
+                payloads = payloads + [payloads[-1]] * (
+                    self.clip_size - len(payloads)
+                )
+        if self.get_item_id:
+            return payloads, int(meta["label"]), meta["video_id"]
+        return payloads, int(meta["label"])
+
 
 class ClipLoader:
     """Batched, shuffled, prefetching loader over any indexable dataset.
@@ -144,7 +189,9 @@ class ClipLoader:
         seed: int = 0,
         mesh=None,
         to_device: bool = True,
+        use_native: bool = True,
     ):
+        self.use_native = use_native
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -155,6 +202,7 @@ class ClipLoader:
         self.mesh = mesh
         self.to_device = to_device
         self._epoch = 0
+        self._native = None  # lazily resolved native-decode capability
 
     def __len__(self):
         n = len(self.dataset)
@@ -171,12 +219,43 @@ class ClipLoader:
                 yield sl
 
     def _assemble(self, pool: ThreadPoolExecutor, indices) -> Tuple:
+        if self._use_native():
+            return self._assemble_native(pool, indices)
         samples = list(pool.map(self.dataset.__getitem__, indices))
         clips = np.stack([s[0] for s in samples])
         labels = np.asarray([s[1] for s in samples], np.int32)
         if len(samples[0]) == 3:
             ids = [s[2] for s in samples]
             return clips, labels, ids
+        return clips, labels
+
+    def _use_native(self) -> bool:
+        if self._native is None:
+            from ivf_tpu import native
+
+            self._native = bool(
+                self.use_native
+                and native.available()
+                and hasattr(self.dataset, "get_payloads")
+            )
+        return self._native
+
+    def _assemble_native(self, pool: ThreadPoolExecutor, indices) -> Tuple:
+        """IO via the thread pool, then ONE native libjpeg batch decode for
+        every frame of every clip in the batch."""
+        from ivf_tpu import native
+
+        samples = list(pool.map(self.dataset.get_payloads, indices))
+        t = len(samples[0][0])
+        flat = [p for s in samples for p in s[0]]
+        frames = native.decode_batch(flat, n_threads=self.num_workers)
+        clips = (
+            frames.reshape(len(samples), t, *frames.shape[1:])
+            .astype(np.float32)
+        )
+        labels = np.asarray([s[1] for s in samples], np.int32)
+        if len(samples[0]) == 3:
+            return clips, labels, [s[2] for s in samples]
         return clips, labels
 
     def _place(self, batch):

@@ -37,15 +37,16 @@ def conv3d_same(
     kernel: jax.Array,
     strides: Sequence[int] = (1, 1, 1),
     bias: jax.Array | None = None,
-    preferred_dtype=jnp.float32,
+    preferred_dtype=None,
 ) -> jax.Array:
     """3D convolution with TF-SAME (asymmetric) padding.
 
     x: (B, T, H, W, C); kernel: (kT, kH, kW, Cin, Cout).
 
     Mixed precision: the activation is cast to the kernel dtype (bf16 params
-    => bf16 MXU inputs) while accumulation stays ``preferred_dtype`` (f32),
-    so elementwise ops downstream remain full precision.
+    => bf16 MXU inputs). Output dtype follows the kernel (the MXU still
+    accumulates f32 internally for bf16); forcing an f32 output with bf16
+    operands would break the conv transpose rule in the backward pass.
     """
     pad = explicit_same_padding(x.shape[1:4], kernel.shape[:3], strides)
     out = lax.conv_general_dilated(
@@ -54,7 +55,7 @@ def conv3d_same(
         window_strides=tuple(strides),
         padding=pad,
         dimension_numbers=_CONV3D_DIMS,
-        preferred_element_type=preferred_dtype,
+        preferred_element_type=preferred_dtype or kernel.dtype,
     )
     if bias is not None:
         out = out + bias
@@ -67,7 +68,7 @@ def conv2d_same_torch(
     stride: int = 1,
     bias: jax.Array | None = None,
     torch_padding: int | None = None,
-    preferred_dtype=jnp.float32,
+    preferred_dtype=None,
 ) -> jax.Array:
     """2D convolution matching torch ``nn.Conv2d(padding=p)`` semantics.
 
@@ -87,7 +88,7 @@ def conv2d_same_torch(
         window_strides=(stride, stride),
         padding=((p, p), (p, p)),
         dimension_numbers=_CONV2D_DIMS,
-        preferred_element_type=preferred_dtype,
+        preferred_element_type=preferred_dtype or kernel.dtype,
     )
     if bias is not None:
         out = out + bias

@@ -152,3 +152,41 @@ def test_loader_device_placement_8dev(tmp_path):
     clips, labels = next(iter(loader))
     assert isinstance(clips, jax.Array)
     assert len(clips.sharding.device_set) == 8
+
+
+def test_native_decode_matches_pil(tmp_path):
+    from ivf_tpu import native
+
+    if not native.available():
+        pytest.skip("native decoder unavailable")
+    _make_frame_tree(tmp_path, n_classes=2, clips_per_class=2)
+    ds = FrameDirDataset(str(tmp_path), clip_size=4, get_item_id=True)
+    native_loader = ClipLoader(ds, batch_size=4, shuffle=False, to_device=False)
+    pil_loader = ClipLoader(
+        ds, batch_size=4, shuffle=False, to_device=False, use_native=False
+    )
+    nb = next(iter(native_loader))
+    pb = next(iter(pil_loader))
+    np.testing.assert_array_equal(nb[0], pb[0])
+    np.testing.assert_array_equal(nb[1], pb[1])
+    assert nb[2] == pb[2]
+    assert nb[0].dtype == np.float32
+
+
+def test_native_decode_records_path(tmp_path):
+    from ivf_tpu import native
+
+    if not native.available():
+        pytest.skip("native decoder unavailable")
+    yy, xx = np.mgrid[0:12, 0:10]
+    base = ((yy * 10 + xx * 5) % 256).astype(np.uint8)
+    path = str(tmp_path / "s.ivfrecords")
+    with RecordWriter(path) as w:
+        for k in range(3):
+            clip = np.stack([np.stack([base + 3 * t + k] * 3, axis=-1) for t in range(2)])
+            w.write(clip, label=k, video_id=f"v{k}")
+    ds = RecordDataset(path, clip_size=4)  # forces payload padding
+    loader = ClipLoader(ds, batch_size=3, shuffle=False, to_device=False)
+    clips, labels = next(iter(loader))
+    assert clips.shape == (3, 4, 12, 10, 3)
+    np.testing.assert_array_equal(clips[:, 2], clips[:, 3])  # padded frames
