@@ -276,7 +276,7 @@ def find_masks(
     with the reference's key names (FindMasksComparison_I3D_smth.py:243-251,
     271-277) and writes the same pickle artifacts.
     """
-    from ivf_tpu.interpret.gradcam import grad_cam, i3d_grad_cam_fns
+    from ivf_tpu.interpret.gradcam import i3d_grad_cam_fns
     from ivf_tpu.interpret.mask_opt import find_mask, init_mask_central
 
     model = build_model(cfg, softmax_override=True)
@@ -287,28 +287,29 @@ def find_masks(
     score_fn = lambda clip: model.apply(variables, clip[None], train=False)[0]
 
     is_i3d = isinstance(model, I3D)
+    norm_frame = mk.normalization_mode == "frame"
     if is_i3d:
-        ffn, hfn = i3d_grad_cam_fns(model, variables)
-        cam_one = jax.jit(
-            lambda clip, tgt: grad_cam(
-                ffn,
-                hfn,
-                clip,
-                tgt,
-                normalize_per_frame=(mk.normalization_mode == "frame"),
+        from ivf_tpu.interpret.gradcam import grad_cam_batched
+
+        ffn, hfn = i3d_grad_cam_fns(model, variables, mk.top_layer)
+        cam_batch = jax.jit(
+            lambda clips, tgts: grad_cam_batched(
+                ffn, hfn, clips, tgts, normalize_per_frame=norm_frame
             )[0]
         )
     else:
         from ivf_tpu.interpret.gradcam import convlstm_grad_cam
 
-        cam_one = jax.jit(
-            lambda clip, tgt: convlstm_grad_cam(
-                model,
-                variables,
-                clip,
-                tgt,
-                normalize_per_frame=(mk.normalization_mode == "frame"),
-            )[0]
+        cam_batch = jax.jit(
+            jax.vmap(
+                lambda clip, tgt: convlstm_grad_cam(
+                    model,
+                    variables,
+                    clip,
+                    tgt,
+                    normalize_per_frame=norm_frame,
+                )[0]
+            )
         )
 
     batched_scores = jax.jit(
@@ -412,12 +413,7 @@ def find_masks(
                 )
 
         if do_gradcam:
-            cams = np.stack(
-                [
-                    np.asarray(cam_one(clips_k[j], targets[j]))
-                    for j in range(len(kept))
-                ]
-            )
+            cams = np.asarray(cam_batch(clips_k, targets))
             for j in range(len(kept)):
                 grad_cam_results.append(
                     {

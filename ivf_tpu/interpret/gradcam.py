@@ -98,6 +98,26 @@ def grad_cam(
     return cam, scores
 
 
+def grad_cam_batched(
+    features_fn: Callable[[jax.Array], jax.Array],
+    head_fn: Callable[[jax.Array], jax.Array],
+    clips: jax.Array,
+    targets: jax.Array,
+    normalize_per_frame: bool = False,
+    weight_mode: str = "global",
+) -> Tuple[jax.Array, jax.Array]:
+    """vmapped Grad-CAM over a leading clip axis (targets required —
+    pass argmax scores for the reference's 'guessed' mode). Returns
+    (cams (B, T, H, W), scores (B, C))."""
+
+    def one(clip, target):
+        return grad_cam(
+            features_fn, head_fn, clip, target, normalize_per_frame, weight_mode
+        )
+
+    return jax.vmap(one)(clips, targets)
+
+
 def i3d_grad_cam_fns(model, variables, endpoint: str = "Mixed_5c"):
     """(features_fn, head_fn) pair for an ivf_tpu I3D model — single-clip
     versions (add/strip the batch dim internally)."""
