@@ -366,6 +366,12 @@ def find_masks(
             keep &= labels_np == mk.class_oi
         if subset_ids is not None:
             keep &= np.asarray([str(i) in subset_ids for i in ids])
+        if mk.kth_clips_filter:
+            from ivf_tpu.data.kth_clips_of_interest import tag_matches
+
+            keep &= np.asarray(
+                [tag_matches(str(i), cfg.split_type) for i in ids]
+            )
         if not keep.any():
             continue
         kept = np.nonzero(keep)[0]

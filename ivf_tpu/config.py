@@ -94,6 +94,8 @@ class MaskConfig:
     eta: float = 1e-5
     early_stop: bool = False  # reference's early stop is dead code; see
     # interpret/mask_opt.py
+    kth_clips_filter: bool = False  # use the KTH clips-of-interest whitelist
+    # (FindMasksComparison_I3D_KTH.py:154-205)
 
 
 @dataclass

@@ -175,3 +175,19 @@ def test_inspect_records_cli(tmp_path, capsys):
     main(["inspect-records", path])
     out = capsys.readouterr().out
     assert "1 records" in out and "vid9" in out and "(2, 8, 8, 3)" in out
+
+
+def test_kth_clips_of_interest():
+    from ivf_tpu.data.kth_clips_of_interest import (
+        CLIPS_OF_INTEREST_ORIGINAL,
+        clips_of_interest,
+        tag_matches,
+    )
+
+    assert len(CLIPS_OF_INTEREST_ORIGINAL) == 24
+    assert ["person17", "boxing", "d1", "_1"] in CLIPS_OF_INTEREST_ORIGINAL
+    assert ["person24", "jogging", "d1", "_1"] in CLIPS_OF_INTEREST_ORIGINAL
+    assert tag_matches("person17_boxing_d1_1", "original")
+    assert not tag_matches("person17_boxing_d3_1", "original")
+    assert tag_matches("person07_boxing_d1_1", "other")
+    assert len(clips_of_interest("other")) == 24
