@@ -73,6 +73,9 @@ class I3D(nn.Module):
     pool_shape: Optional[Tuple[int, int, int]] = None
     temporal_mean: bool = False  # TF-variant head: mean logits over time
     guided_relu: bool = False  # guided-backprop backward (same forward)
+    remat: bool = False  # checkpoint Inception blocks: ~2x activation-memory
+    # reduction in backward passes (bigger mask-search batches) for ~30%
+    # extra forward FLOPs
 
     def setup(self):
         if self.final_endpoint not in VALID_ENDPOINTS:
@@ -95,7 +98,12 @@ class I3D(nn.Module):
                     ),
                 )
             elif kind == "mixed":
-                setattr(self, name, InceptionModule(spec["out"], activation=act))
+                mixed_cls = (
+                    nn.remat(InceptionModule, static_argnums=(2,))
+                    if self.remat
+                    else InceptionModule
+                )
+                setattr(self, name, mixed_cls(spec["out"], activation=act))
         if self.last_relu == "leaky":
             act = jax.nn.leaky_relu
         elif self.last_relu == "relu":

@@ -314,3 +314,18 @@ def test_grad_cam_end_to_end_finite_difference():
     assert cam.shape == (4, 4, 4)
     assert float(cam.min()) == 0.0 and float(cam.max()) == 1.0
     assert scores.shape == (6,)
+
+
+def test_freeze_matrix_equals_scan():
+    """Transition-matrix freeze == literal scan recurrence (all mask cases)."""
+    for k, mask in enumerate(MASK_CASES):
+        seq = _rand_seq(seed=40 + k)
+        a = np.asarray(freeze_perturb(jnp.asarray(seq), jnp.asarray(mask), use_matrix=True))
+        b = np.asarray(freeze_perturb(jnp.asarray(seq), jnp.asarray(mask), use_matrix=False))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5, err_msg=f"case {k}")
+    # gradients agree too
+    mask = jnp.asarray(MASK_CASES[2])
+    seq = jnp.asarray(_rand_seq(seed=50))
+    g1 = jax.grad(lambda m: jnp.sum(freeze_perturb(seq, m, use_matrix=True) ** 2))(mask)
+    g2 = jax.grad(lambda m: jnp.sum(freeze_perturb(seq, m, use_matrix=False) ** 2))(mask)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
