@@ -78,8 +78,22 @@ def build_dataset(cfg: Config, split: str = "train", get_item_id: bool = False):
 
     d = cfg.data
     if d.input_mode == "records":
+        paths = list(
+            d.record_paths_train if split == "train" else d.record_paths_val
+        ) or list(d.record_paths)
+        if not paths and d.records_folder and (d.train_subjects or d.val_subjects):
+            # per-subject shard selection (TF train_kth.py:13-34)
+            from ivf_tpu.data.kth import subject_split_paths
+
+            tr, va, _, _ = subject_split_paths(
+                d.records_folder,
+                d.train_subjects,
+                d.val_subjects,
+                d.subjects_clips_csv or None,
+            )
+            paths = tr if split == "train" else va
         return RecordDataset(
-            list(d.record_paths), clip_size=d.clip_size, get_item_id=get_item_id
+            paths, clip_size=d.clip_size, get_item_id=get_item_id
         )
     root = os.path.join(d.data_folder, split)
     if "kth" in cfg.model.conv_model.lower() and not os.path.isdir(root):
@@ -150,6 +164,10 @@ def train(
         weight_decay=cfg.optim.weight_decay,
     )
     state = create_train_state(model, jax.random.PRNGKey(cfg.seed), sample, tx)
+    if mesh is not None:
+        from ivf_tpu.parallel import replicate
+
+        state = replicate(state, mesh)
 
     ckpt = Checkpointer(save_dir)
     start_epoch = 0

@@ -28,7 +28,14 @@ class DataConfig:
     json_data_test: str = ""
     json_file_labels: str = ""
     input_mode: str = "jpg"  # jpg | records
-    record_paths: Tuple[str, ...] = ()
+    record_paths: Tuple[str, ...] = ()  # fallback when per-split not given
+    record_paths_train: Tuple[str, ...] = ()
+    record_paths_val: Tuple[str, ...] = ()
+    # KTH per-subject shard selection (TF train_kth.py:13-34)
+    records_folder: str = ""
+    train_subjects: Tuple[int, ...] = ()
+    val_subjects: Tuple[int, ...] = ()
+    subjects_clips_csv: str = ""
     clip_size: int = 16
     input_spatial_size: int = 224
     batch_size: int = 16
@@ -206,6 +213,18 @@ class Config:
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
+
+    def experiment_params(self) -> dict:
+        """Flat hyperparameter dict for experiment tracking — the analogue
+        of the Comet.ml params dict the TF half assembles (train_kth.py:47-54
+        — which, notably, it never actually ships)."""
+        flat = {}
+        for section in ("data", "model", "optim", "mask"):
+            for k, v in dataclasses.asdict(getattr(self, section)).items():
+                flat[f"{section}.{k}"] = v
+        flat["model_name"] = self.model_name
+        flat["split_type"] = self.split_type
+        return flat
 
 
 # ----------------------------------------------------------------------
