@@ -1,8 +1,17 @@
 from ivf_tpu.parallel.mesh import (
     get_mesh,
+    get_2d_mesh,
     shard_batch,
     replicate,
     data_sharding,
+    spatial_sharding,
 )
 
-__all__ = ["get_mesh", "shard_batch", "replicate", "data_sharding"]
+__all__ = [
+    "get_mesh",
+    "get_2d_mesh",
+    "shard_batch",
+    "replicate",
+    "data_sharding",
+    "spatial_sharding",
+]

@@ -29,6 +29,23 @@ def get_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def get_2d_mesh(
+    data: int, model: int, axis_names: Sequence[str] = ("data", "model")
+) -> Mesh:
+    """2-D (data x model) mesh. The 'model' axis spatially shards the conv
+    H dimension (GSPMD inserts the halo exchanges) — the optional
+    model-parallel mode for clips too large for one chip's HBM."""
+    devices = jax.devices()
+    assert len(devices) >= data * model, (len(devices), data, model)
+    grid = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, tuple(axis_names))
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard clips (B, T, H, W, C): batch over 'data', H over 'model'."""
+    return NamedSharding(mesh, P("data", None, "model"))
+
+
 def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (clip/batch) axis over the mesh."""
     return NamedSharding(mesh, P(axis_name))

@@ -220,3 +220,25 @@ def test_data_parallel_8_devices_matches_single():
         new_sharded.params,
         new_single.params,
     )
+
+
+def test_spatial_model_parallel_i3d_matches_single():
+    """H-axis (model) sharding over a 2x4 mesh == single device (GSPMD
+    inserts the conv halo exchanges)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ivf_tpu.models import i3d_smth
+    from ivf_tpu.parallel import get_2d_mesh, spatial_sharding
+
+    assert jax.device_count() >= 8
+    mesh = get_2d_mesh(2, 4)
+    model = i3d_smth(num_classes=6, dropout_rate=0.0, pool_shape=(2, 2, 2))
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(1), x[:1])
+    ref = model.apply(v, x)
+    x_sh = jax.device_put(x, spatial_sharding(mesh))
+    v_sh = jax.tree.map(lambda a: jax.device_put(a, NamedSharding(mesh, P())), v)
+    out = jax.jit(lambda v, x: model.apply(v, x))(v_sh, x_sh)
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=1e-4)
