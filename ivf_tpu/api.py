@@ -302,7 +302,17 @@ def find_masks(
     dataset = dataset or build_dataset(cfg, "validation", get_item_id=True)
     loader = build_loader(cfg, dataset, False, mesh)
 
-    score_fn = lambda clip: model.apply(variables, clip[None], train=False)[0]
+    if cfg.model.compute_dtype == "bfloat16":
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32
+            else a,
+            variables,
+        )
+
+    score_fn = lambda clip: model.apply(variables, clip[None], train=False)[
+        0
+    ].astype(jnp.float32)
 
     is_i3d = isinstance(model, I3D)
     norm_frame = mk.normalization_mode == "frame"
