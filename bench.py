@@ -29,12 +29,27 @@ import jax.numpy as jnp
 
 
 def build(
-    batch_size: int, n_steps: int, t: int = 16, hw: int = 224, dtype="float32"
+    batch_size: int,
+    n_steps: int,
+    t: int = 16,
+    hw: int = 224,
+    dtype="float32",
+    optimized: bool = True,
 ):
     from ivf_tpu.interpret.mask_opt import find_mask
     from ivf_tpu.models import i3d_smth
 
-    model = i3d_smth(num_classes=174, dropout_rate=0.0, softmax=True)
+    # optimized=False turns off the TPU-native rewrites (s2d stem, BN
+    # folding, 1x1-branch fusion) — a faithful proxy of a naive port of the
+    # reference, used as the baseline schedule
+    model = i3d_smth(
+        num_classes=174,
+        dropout_rate=0.0,
+        softmax=True,
+        stem_s2d=optimized,
+        fold_bn=optimized,
+        fuse_1x1=optimized,
+    )
     key = jax.random.PRNGKey(0)
     clips = jax.random.normal(key, (batch_size, t, hw, hw, 3), jnp.float32)
     variables = jax.jit(model.init)(key, clips[:1])
@@ -77,8 +92,9 @@ def main():
     dt_b = min(timed(run_b, args_b, 1.0), timed(run_b, args_b, 2.0))
     batched_sps = batch * n_steps / dt_b
 
-    # reference-style schedule for the baseline: one clip per call, f32
-    run_s, args_s = build(1, n_steps)
+    # reference-style schedule for the baseline: one clip per call, f32,
+    # no TPU-native rewrites
+    run_s, args_s = build(1, n_steps, optimized=False)
     timed(run_s, args_s, 0.0)
     dt_s = min(timed(run_s, args_s, 1.0), timed(run_s, args_s, 2.0))
     sequential_sps = n_steps / dt_s

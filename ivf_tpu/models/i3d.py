@@ -76,6 +76,10 @@ class I3D(nn.Module):
     remat: bool = False  # checkpoint Inception blocks: ~2x activation-memory
     # reduction in backward passes (bigger mask-search batches) for ~30%
     # extra forward FLOPs
+    stem_s2d: bool = True  # space-to-depth stem (identical math, ~2x faster
+    # stem on TPU; auto-falls back when stride/shape conditions don't hold)
+    fold_bn: bool = True  # inference-mode BN-into-conv folding (layers.py)
+    fuse_1x1: bool = True  # inference-mode Inception 1x1x1 branch fusion
 
     def setup(self):
         if self.final_endpoint not in VALID_ENDPOINTS:
@@ -95,6 +99,8 @@ class I3D(nn.Module):
                         spec["kernel"],
                         (st, spec["stride_hw"], spec["stride_hw"]),
                         activation=act,
+                        s2d=self.stem_s2d,
+                        fold_bn=self.fold_bn,
                     ),
                 )
             elif kind == "mixed":
@@ -103,7 +109,16 @@ class I3D(nn.Module):
                     if self.remat
                     else InceptionModule
                 )
-                setattr(self, name, mixed_cls(spec["out"], activation=act))
+                setattr(
+                    self,
+                    name,
+                    mixed_cls(
+                        spec["out"],
+                        activation=act,
+                        fold_bn=self.fold_bn,
+                        fuse_1x1=self.fuse_1x1,
+                    ),
+                )
         if self.last_relu == "leaky":
             act = jax.nn.leaky_relu
         elif self.last_relu == "relu":

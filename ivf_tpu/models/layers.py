@@ -30,7 +30,9 @@ class TorchBatchNorm(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, fold: bool = False
+    ) -> jax.Array:
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -40,6 +42,12 @@ class TorchBatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
+
+        if fold:
+            # return the inference-mode affine (s, t) with y = x*s + t so the
+            # caller can fold BN into a preceding conv's kernel/bias
+            s = scale * jax.lax.rsqrt(ra_var.value + self.eps)
+            return s, bias - ra_mean.value * s
 
         if train:
             reduce_axes = tuple(range(x.ndim - 1))
@@ -71,9 +79,15 @@ class Unit3D(nn.Module):
     use_batch_norm: bool = True
     use_bias: bool = False
     activation: Callable | None = jax.nn.relu
+    s2d: bool = False  # space-to-depth stem formulation (7x7x7 s2 only)
+    fold_bn: bool = True  # at inference, fold BN into the conv kernel/bias
+    # (one conv HLO instead of conv + 5-6 BN elementwise HLOs; identical
+    # math up to float reassociation)
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, return_folded: bool = False
+    ):
         cin = x.shape[-1]
         kernel = self.param(
             "kernel",
@@ -85,9 +99,30 @@ class Unit3D(nn.Module):
             if self.use_bias
             else None
         )
-        x = conv3d_same(x, kernel, tuple(self.stride), bias)
+        folding = self.use_batch_norm and self.fold_bn and not train
         if self.use_batch_norm:
-            x = TorchBatchNorm(eps=1e-3, momentum=0.01, name="bn")(x, train=train)
+            bn = TorchBatchNorm(eps=1e-3, momentum=0.01, name="bn")
+            if folding:
+                s, t = bn(jnp.zeros((1, self.out_channels)), fold=True)
+                kernel = kernel * s
+                bias = t if bias is None else bias * s + t
+        if return_folded:
+            # for cross-branch fusion: caller runs the conv itself
+            assert folding, "return_folded requires inference-mode BN folding"
+            return kernel, bias
+        if (
+            self.s2d
+            and tuple(self.kernel_shape) == (7, 7, 7)
+            and tuple(self.stride) == (2, 2, 2)
+            and all(d % 2 == 0 for d in x.shape[1:4])
+        ):
+            from ivf_tpu.ops.conv import conv3d_stem_s2d
+
+            x = conv3d_stem_s2d(x, kernel, bias)
+        else:
+            x = conv3d_same(x, kernel, tuple(self.stride), bias)
+        if self.use_batch_norm and not folding:
+            x = bn(x, train=train)
         if self.activation is not None:
             x = self.activation(x)
         return x
@@ -102,6 +137,10 @@ class InceptionModule(nn.Module):
 
     out_channels: Sequence[int]
     activation: Callable = jax.nn.relu
+    fold_bn: bool = True
+    fuse_1x1: bool = True  # at inference, run the three parallel 1x1x1
+    # branch convs (b0, b1a, b2a — same input) as ONE conv, splitting the
+    # output channels after the shared ReLU
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -109,11 +148,26 @@ class InceptionModule(nn.Module):
 
         oc = self.out_channels
         act = self.activation
-        b0 = Unit3D(oc[0], (1, 1, 1), activation=act, name="b0")(x, train)
-        b1 = Unit3D(oc[1], (1, 1, 1), activation=act, name="b1a")(x, train)
-        b1 = Unit3D(oc[2], (3, 3, 3), activation=act, name="b1b")(b1, train)
-        b2 = Unit3D(oc[3], (1, 1, 1), activation=act, name="b2a")(x, train)
-        b2 = Unit3D(oc[4], (3, 3, 3), activation=act, name="b2b")(b2, train)
+        fb = self.fold_bn
+        mods = {
+            "b0": Unit3D(oc[0], (1, 1, 1), activation=act, fold_bn=fb, name="b0"),
+            "b1a": Unit3D(oc[1], (1, 1, 1), activation=act, fold_bn=fb, name="b1a"),
+            "b2a": Unit3D(oc[3], (1, 1, 1), activation=act, fold_bn=fb, name="b2a"),
+        }
+        if self.fuse_1x1 and fb and not train and act is jax.nn.relu:
+            parts = [mods[k](x, return_folded=True) for k in ("b0", "b1a", "b2a")]
+            kcat = jnp.concatenate([k for k, _ in parts], axis=-1)
+            bcat = jnp.concatenate([b for _, b in parts])
+            y = act(conv3d_same(x, kcat, (1, 1, 1), bcat))
+            b0 = y[..., : oc[0]]
+            b1 = y[..., oc[0] : oc[0] + oc[1]]
+            b2 = y[..., oc[0] + oc[1] :]
+        else:
+            b0 = mods["b0"](x, train)
+            b1 = mods["b1a"](x, train)
+            b2 = mods["b2a"](x, train)
+        b1 = Unit3D(oc[2], (3, 3, 3), activation=act, fold_bn=fb, name="b1b")(b1, train)
+        b2 = Unit3D(oc[4], (3, 3, 3), activation=act, fold_bn=fb, name="b2b")(b2, train)
         b3 = max_pool3d_same(x, (3, 3, 3), (1, 1, 1))
-        b3 = Unit3D(oc[5], (1, 1, 1), activation=act, name="b3b")(b3, train)
+        b3 = Unit3D(oc[5], (1, 1, 1), activation=act, fold_bn=fb, name="b3b")(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)

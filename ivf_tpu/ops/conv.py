@@ -95,6 +95,53 @@ def conv2d_same_torch(
     return out
 
 
+def conv3d_stem_s2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """Space-to-depth formulation of the I3D stem conv (7x7x7, stride 2,
+    TF-SAME) — mathematically identical, ~2x faster on TPU.
+
+    A Cin=3 conv uses 3/128 MXU lanes; regrouping 2x2x2 input blocks into
+    channels gives Cin=24 with a 4x4x4 stride-1 kernel. Derivation: SAME
+    padding for k=7,s=2 on even sizes is (2,3); zero-padding the kernel to 8
+    makes every output tap a whole number of 2-blocks -> block-domain conv
+    with kernel 4, stride 1, padding (1,2). The (7,7,7,Cin,Cout) parameter is
+    reshaped at apply time, so checkpoints are untouched.
+
+    Requires: kernel 7^3, implied stride 2, all of (T,H,W) even.
+    """
+    kt, kh, kw, cin, cout = kernel.shape
+    assert (kt, kh, kw) == (7, 7, 7), "s2d stem specialized for 7x7x7"
+    b, t, h, w, _ = x.shape
+    assert t % 2 == 0 and h % 2 == 0 and w % 2 == 0, (t, h, w)
+
+    # kernel: pad 7 -> 8 at the high side of each spatial dim, regroup
+    k8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 1), (0, 0), (0, 0)))
+    k8 = k8.reshape(4, 2, 4, 2, 4, 2, cin, cout)
+    k_s2d = jnp.transpose(k8, (0, 2, 4, 1, 3, 5, 6, 7)).reshape(
+        4, 4, 4, 8 * cin, cout
+    )
+    # input: (B, T/2, 2, H/2, 2, W/2, 2, C) -> blocks to channels, matching
+    # the kernel's (2t, 2h, 2w, C) flatten order
+    xb = x.reshape(b, t // 2, 2, h // 2, 2, w // 2, 2, cin)
+    xb = jnp.transpose(xb, (0, 1, 3, 5, 2, 4, 6, 7)).reshape(
+        b, t // 2, h // 2, w // 2, 8 * cin
+    )
+    out = lax.conv_general_dilated(
+        xb.astype(k_s2d.dtype),
+        k_s2d,
+        window_strides=(1, 1, 1),
+        padding=((1, 2), (1, 2), (1, 2)),
+        dimension_numbers=_CONV3D_DIMS,
+        preferred_element_type=k_s2d.dtype,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def max_pool3d_same(
     x: jax.Array, window: Sequence[int], strides: Sequence[int]
 ) -> jax.Array:

@@ -34,7 +34,12 @@ def get_2d_mesh(
 ) -> Mesh:
     """2-D (data x model) mesh. The 'model' axis spatially shards the conv
     H dimension (GSPMD inserts the halo exchanges) — the optional
-    model-parallel mode for clips too large for one chip's HBM."""
+    model-parallel mode for clips too large for one chip's HBM.
+
+    Constraint: pick ``model`` <= the smallest H the network reaches (I3D
+    reduces H 32x, so model <= input_H/32). Sharding a dimension smaller
+    than the axis hits degenerate GSPMD partitioning (observed wrong values
+    at H=2 over 4 devices on the CPU backend)."""
     devices = jax.devices()
     assert len(devices) >= data * model, (len(devices), data, model)
     grid = np.asarray(devices[: data * model]).reshape(data, model)

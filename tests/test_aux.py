@@ -67,7 +67,11 @@ def test_guided_backprop_i3d_smoke():
     out_plain = model.apply(variables, clip[None])
     guided = I3D(guided_relu=True, **kwargs)
     out_guided = guided.apply(variables, clip[None])
-    np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_guided), rtol=1e-6)
+    # guided path disables the fused-1x1 branch (custom-vjp act), so tiny
+    # float-reassociation drift vs the fused plain path is expected
+    np.testing.assert_allclose(
+        np.asarray(out_plain), np.asarray(out_guided), rtol=1e-4, atol=1e-5
+    )
 
 
 def _make_kth_frames(root, subjects=(1, 2), frames_per_clip=12):

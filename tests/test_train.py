@@ -232,9 +232,12 @@ def test_spatial_model_parallel_i3d_matches_single():
     from ivf_tpu.parallel import get_2d_mesh, spatial_sharding
 
     assert jax.device_count() >= 8
-    mesh = get_2d_mesh(2, 4)
-    model = i3d_smth(num_classes=6, dropout_rate=0.0, pool_shape=(2, 2, 2))
-    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 64, 64, 3))
+    # model axis 2 with 128^2 input: H reaches 128/32 = 4 at Mixed_5 -> 2
+    # rows/device. One-row-per-device shards are degenerate under GSPMD
+    # (wrong values observed) — see parallel/mesh.py constraint note.
+    mesh = get_2d_mesh(4, 2)
+    model = i3d_smth(num_classes=6, dropout_rate=0.0, pool_shape=(2, 4, 4))
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 128, 128, 3))
     v = model.init(jax.random.PRNGKey(1), x[:1])
     ref = model.apply(v, x)
     x_sh = jax.device_put(x, spatial_sharding(mesh))
