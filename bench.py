@@ -106,18 +106,62 @@ def main():
         "vs_baseline": round(batched_sps / sequential_sps, 2),
     }
     print(json.dumps(result))
-    print(
-        json.dumps(
-            {
-                "detail": "sequential (reference-style) steps/s",
-                "value": round(sequential_sps, 2),
-                "batched_seconds_per_clip_300steps": round(
-                    300.0 / (batched_sps / batch), 2
-                ),
-            }
+    details = {
+        "sequential_steps_per_sec": round(sequential_sps, 2),
+        "batched_seconds_per_clip_300steps": round(
+            300.0 / (batched_sps / batch), 2
         ),
-        file=sys.stderr,
+    }
+    details.update(inference_throughput())
+    print(json.dumps(details), file=sys.stderr)
+
+
+def inference_throughput():
+    """Secondary metrics: I3D + ConvLSTM inference clips/sec/chip (bf16)."""
+    import jax.lax as lax
+
+    from ivf_tpu.models import ConvLSTMClassifier, i3d_smth
+
+    out = {}
+    key = jax.random.PRNGKey(0)
+    n_iters = 10
+
+    def measure(model, clips, variables):
+        @jax.jit
+        def run(salt):
+            def body(c, i):
+                logits = model.apply(variables, clips + (i + salt) * 1e-6)
+                return c + jnp.sum(logits.astype(jnp.float32)), None
+            acc, _ = lax.scan(body, 0.0, jnp.arange(n_iters, dtype=jnp.float32))
+            return acc
+
+        float(run(jnp.float32(0)))
+        t0 = time.time()
+        float(run(jnp.float32(1)))
+        return clips.shape[0] * n_iters / (time.time() - t0)
+
+    i3d = i3d_smth(num_classes=174, dropout_rate=0.0)
+    clips = jax.random.normal(key, (64, 16, 224, 224, 3), jnp.float32)
+    v = jax.jit(i3d.init)(key, clips[:1])
+    v = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, v
     )
+    out["i3d_inference_clips_per_sec"] = round(measure(i3d, clips, v), 1)
+
+    clstm = ConvLSTMClassifier(
+        num_classes=6,
+        nb_lstm_units=32,
+        lstm_layers=2,
+        conv_stride=2,
+        effective_steps=(7, 15, 23, 31),
+    )
+    kclips = jax.random.normal(key, (64, 32, 160, 120, 3), jnp.float32)
+    v2 = jax.jit(clstm.init)(key, kclips[:1])
+    v2 = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, v2
+    )
+    out["convlstm_inference_clips_per_sec"] = round(measure(clstm, kclips, v2), 1)
+    return out
 
 
 if __name__ == "__main__":

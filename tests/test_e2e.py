@@ -143,22 +143,46 @@ def test_cli_make_records_and_train_on_records(tmp_path):
     assert clip.shape == (8, 32, 32, 3) and label in (0, 1)
 
 
-def test_i3d_find_masks_smoke(tmp_path):
-    """I3D path of find_masks on tiny synthetic clips (pool override)."""
+def test_i3d_find_masks_end_to_end(tmp_path):
+    """I3D path of find_masks (trunk/head-split Grad-CAM + vmapped search)
+    on small synthetic clips, exercising the sized-down I3D end to end."""
     import jax
     import jax.numpy as jnp
 
+    _make_frame_tree(tmp_path / "data", n_classes=2, clips_per_class=2, t=16, hw=64)
     cfg = Config()
-    cfg.output_dir = str(tmp_path)
-    cfg.model_name = "i3d_smoke"
+    cfg.output_dir = str(tmp_path / "out")
+    cfg.model_name = "i3d_e2e"
+    cfg.data.data_folder = str(tmp_path / "data")
     cfg.model.conv_model = "i3d_smth"
-    cfg.model.num_classes = 3
+    cfg.model.num_classes = 2
     cfg.model.dropout = 0.0
-    cfg.data.clip_size = 8
-    cfg.data.input_spatial_size = 224
-    cfg.mask.opt_iter = 2
+    cfg.data.clip_size = 16
+    cfg.data.input_spatial_size = 64
+    cfg.data.batch_size = 4
+    cfg.data.num_workers = 2
+    cfg.mask.opt_iter = 3
 
     model = build_model(cfg, softmax_override=True)
-    # full I3D at 224 is slow on CPU — just check model construction wiring
-    assert model.num_classes == 3 and model.softmax
-    assert model.pool_shape is None
+    assert model.num_classes == 2 and model.softmax
+    # size the logits pool for 64^2 inputs (Mixed_5c spatial = 2x2)
+    model = model.clone(pool_shape=(2, 2, 2))
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 64, 3))
+    )
+
+    # monkeypatch build_model so find_masks uses the pool-sized model
+    import ivf_tpu.api as api_mod
+
+    orig = api_mod.build_model
+    api_mod.build_model = lambda cfg, softmax_override=None: model
+    try:
+        tm, gc = api_mod.find_masks(
+            cfg, variables, max_batches=1, save_viz=False
+        )
+    finally:
+        api_mod.build_model = orig
+    assert len(tm) == 4 and len(gc) == 4
+    assert tm[0]["time_mask"].shape == (16,)
+    assert gc[0]["GCHeatMap"].shape == (16, 64, 64)
+    assert np.isfinite(gc[0]["GCHeatMap"]).all()
