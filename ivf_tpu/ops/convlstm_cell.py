@@ -38,11 +38,12 @@ from ivf_tpu.ops.conv import conv2d_same_torch
 
 
 def fused_gate_math(
-    gates_x: jax.Array, gates_h: jax.Array, c: jax.Array
+    gates_x: jax.Array, gates_h: jax.Array | None, c: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
-    """Elementwise LSTM gate block. gates_*: (..., 4*H) in (i,f,c,o) order."""
+    """Elementwise LSTM gate block. gates_*: (..., 4*H) in (i,f,c,o) order;
+    gates_h may be None when the x/h convs were already merged."""
     hidden = c.shape[-1]
-    z = gates_x + gates_h
+    z = gates_x if gates_h is None else gates_x + gates_h
     zi, zf, zc, zo = (
         z[..., :hidden],
         z[..., hidden : 2 * hidden],
@@ -76,9 +77,19 @@ def convlstm_cell_step(
     Input convs use torch symmetric padding (k-1)//2 with ``conv_stride``;
     hidden convs are always stride 1 (reference lines 25-32).
     Returns (new_h, new_c).
+
+    When ``conv_stride == 1`` the x- and h-convolutions share stride and
+    padding, so they run as ONE conv over the channel-concat
+    ``[x; h] * [wx; wh]`` — identical math, half the conv ops per step.
     """
-    gates_x = conv2d_same_torch(x, wx, stride=conv_stride, bias=bx)
-    gates_h = conv2d_same_torch(h, wh, stride=1)
+    if conv_stride == 1 and x.shape[1:3] == h.shape[1:3]:
+        xh = jnp.concatenate([x, h.astype(x.dtype)], axis=-1)
+        w = jnp.concatenate([wx, wh.astype(wx.dtype)], axis=-2)
+        gates = conv2d_same_torch(xh, w, stride=1, bias=bx)
+        gates_x, gates_h = gates, None
+    else:
+        gates_x = conv2d_same_torch(x, wx, stride=conv_stride, bias=bx)
+        gates_h = conv2d_same_torch(h, wh, stride=1)
     if use_pallas:
         from ivf_tpu.ops.pallas.fused_gates import pallas_gate_math
 

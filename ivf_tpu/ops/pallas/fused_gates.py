@@ -47,7 +47,7 @@ def pallas_gate_math(
 ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in replacement for ops.convlstm_cell.fused_gate_math."""
     hidden = c.shape[-1]
-    z = gates_x + gates_h
+    z = gates_x if gates_h is None else gates_x + gates_h
     zi, zf, zc, zo = jnp.split(z, 4, axis=-1)
 
     n_elem = c.size
