@@ -57,6 +57,7 @@ def build_model(cfg: Config, softmax_override: Optional[bool] = None):
             cfg.data.clip_size
         )
         return ConvLSTMClassifier(
+            head="gap" if "gap" in name else "fc",
             num_classes=m.num_classes,
             nb_lstm_units=m.clstm_hidden,
             lstm_layers=m.clstm_layers,
@@ -254,13 +255,30 @@ def _load_pretrained(cfg: Config, model, state):
     )
 
 
+def init_eval_state(cfg: Config, softmax_override: Optional[bool] = None):
+    """Build a model + TrainState for inference/mask-search consumers,
+    loading ``pretrained_model_path`` when set (torch .pth.tar or orbax)."""
+    from ivf_tpu.train import build_optimizer, create_train_state
+
+    model = build_model(cfg, softmax_override=softmax_override)
+    sample = jnp.zeros((1, cfg.data.clip_size, *_clip_hw(cfg), 3), jnp.float32)
+    state = create_train_state(
+        model,
+        jax.random.PRNGKey(cfg.seed),
+        sample,
+        build_optimizer("adam", 1e-3),
+    )
+    if cfg.model.pretrained_model_path not in ("", "no_ckpt", None):
+        state = _load_pretrained(cfg, model, state)
+    return model, state
+
+
 def infer(cfg: Config, state=None, mesh=None, dataset=None, save_npy=True):
     """Validation inference + npy prediction dumps (inference_kth.py)."""
     from ivf_tpu.train import evaluate, make_eval_step
 
     if state is None:
-        state, _ = train(cfg, eval_only=True, mesh=mesh)
-        return state
+        _, state = init_eval_state(cfg)
     dataset = dataset or build_dataset(cfg, "validation")
     loss_type = "nll_on_probs" if cfg.model.soft_max else "cross_entropy"
     res = evaluate(

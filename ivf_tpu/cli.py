@@ -89,35 +89,23 @@ def main(argv=None):
             cfg.model.pretrained_model_path = args.checkpoint
         train(cfg, eval_only=args.eval_only, resume=args.resume)
     elif args.command == "infer":
-        from ivf_tpu.api import infer, train
+        from ivf_tpu.api import infer
 
         cfg = _load_cfg(args)
         if args.checkpoint:
             cfg.model.pretrained_model_path = args.checkpoint
-        state, _ = train(cfg, eval_only=True)
-    elif args.command == "find-masks":
-        from ivf_tpu.api import build_model, find_masks, train
-
-        cfg = _load_cfg(args)
-        if args.checkpoint:
-            cfg.model.pretrained_model_path = args.checkpoint
-        # materialize variables via the training-state loader
-        import jax
-        import jax.numpy as jnp
-
-        from ivf_tpu.api import _clip_hw, _load_pretrained
-        from ivf_tpu.train import build_optimizer, create_train_state
-
-        model = build_model(cfg, softmax_override=True)
-        sample = jnp.zeros((1, cfg.data.clip_size, *_clip_hw(cfg), 3))
-        state = create_train_state(
-            model,
-            jax.random.PRNGKey(cfg.seed),
-            sample,
-            build_optimizer("adam", 1e-3),
+        res = infer(cfg)
+        print(
+            f"val loss {res['loss']:.4f} top1 {res['top1']:.2f} "
+            f"top5 {res['top5']:.2f} (predictions saved)"
         )
-        if cfg.model.pretrained_model_path not in ("", "no_ckpt", None):
-            state = _load_pretrained(cfg, model, state)
+    elif args.command == "find-masks":
+        from ivf_tpu.api import find_masks, init_eval_state
+
+        cfg = _load_cfg(args)
+        if args.checkpoint:
+            cfg.model.pretrained_model_path = args.checkpoint
+        _, state = init_eval_state(cfg, softmax_override=True)
         find_masks(
             cfg,
             state.variables(),

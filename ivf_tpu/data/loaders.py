@@ -279,18 +279,32 @@ class ClipLoader:
         self._epoch += 1
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()
 
         def producer():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for indices in self._batch_indices():
-                    q.put(self._assemble(pool, indices))
+                    item = self._assemble(pool, indices)
+                    # bounded put that honors consumer cancellation so an
+                    # early break (test_run / max_steps) can't strand us
+                    while not cancel.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if cancel.is_set():
+                        return
             q.put(stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield self._place(item)
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield self._place(item)
+        finally:
+            cancel.set()
+            t.join(timeout=30)

@@ -105,9 +105,13 @@ class RecordReader:
     """Random-access reader over one or more ivfrecords shards."""
 
     def __init__(self, paths):
+        import threading
+
         if isinstance(paths, (str, os.PathLike)):
             paths = [paths]
         self.paths = [str(p) for p in paths]
+        # readers are used from loader thread pools; seek+read must be atomic
+        self._lock = threading.Lock()
         self._files = []
         self._entries: List[Tuple[int, int]] = []  # (file_idx, offset)
         for fi, p in enumerate(self.paths):
@@ -129,23 +133,25 @@ class RecordReader:
     def read_meta(self, i: int) -> Dict:
         fi, off = self._entries[i]
         f = self._files[fi]
-        f.seek(off)
-        (mlen,) = struct.unpack("<I", f.read(4))
-        return json.loads(f.read(mlen))
+        with self._lock:
+            f.seek(off)
+            (mlen,) = struct.unpack("<I", f.read(4))
+            return json.loads(f.read(mlen))
 
     def read(self, i: int, decode: bool = True):
         """Returns (meta, frames) — frames decoded (T,H,W,3) uint8 or raw
-        JPEG bytes list when decode=False."""
+        JPEG bytes list when decode=False. Thread-safe."""
         fi, off = self._entries[i]
         f = self._files[fi]
-        f.seek(off)
-        (mlen,) = struct.unpack("<I", f.read(4))
-        meta = json.loads(f.read(mlen))
-        (nframes,) = struct.unpack("<I", f.read(4))
-        payloads = []
-        for _ in range(nframes):
-            (flen,) = struct.unpack("<I", f.read(4))
-            payloads.append(f.read(flen))
+        with self._lock:
+            f.seek(off)
+            (mlen,) = struct.unpack("<I", f.read(4))
+            meta = json.loads(f.read(mlen))
+            (nframes,) = struct.unpack("<I", f.read(4))
+            payloads = []
+            for _ in range(nframes):
+                (flen,) = struct.unpack("<I", f.read(4))
+                payloads.append(f.read(flen))
         if not decode:
             return meta, payloads
         frames = np.stack([decode_jpeg(p) for p in payloads])

@@ -26,8 +26,6 @@ class TorchBatchNorm(nn.Module):
 
     eps: float = 1e-3
     momentum: float = 0.01  # torch convention: weight of the new batch stat
-    use_scale: bool = True
-    use_bias: bool = True
 
     @nn.compact
     def __call__(

@@ -62,8 +62,9 @@ def find_temp_mask_dots(
     image_width: int, image_height: int, mask: np.ndarray, round_up: bool = True
 ) -> List[dict]:
     """Dot geometry for the mask indicator strip (visualisation.py:67-93).
-    channel 1 (green) = mask off, channel 2 (red in the reference's BGR
-    panel) = mask on."""
+    channel 1 (green) = mask off, channel 0 (red) = mask on. The reference
+    uses channel 2 because its panels are BGR (cv2); ours are RGB (PIL), so
+    red is channel 0 — same colors in the emitted images."""
     mask = np.asarray(mask, np.float32).copy()
     n = len(mask)
     dot_width = int(image_width // (n + 4))
@@ -79,7 +80,7 @@ def find_temp_mask_dots(
                 "yEnd": image_height,
                 "xStart": i * (dot_width + dot_padding),
                 "xEnd": i * (dot_width + dot_padding) + dot_width,
-                "channel": 1 if mask[i] == 0 else 2,
+                "channel": 1 if mask[i] == 0 else 0,
             }
         )
     return dots
