@@ -190,3 +190,47 @@ def test_native_decode_records_path(tmp_path):
     clips, labels = next(iter(loader))
     assert clips.shape == (3, 4, 12, 10, 3)
     np.testing.assert_array_equal(clips[:, 2], clips[:, 3])  # padded frames
+
+
+def test_record_reader_thread_safety(tmp_path):
+    import threading
+
+    yy, xx = np.mgrid[0:12, 0:10]
+    base = ((yy * 10 + xx * 5) % 256).astype(np.uint8)
+    path = str(tmp_path / "c.ivfrecords")
+    with RecordWriter(path) as w:
+        for k in range(20):
+            clip = np.stack([np.stack([base + t + k] * 3, axis=-1) for t in range(3)])
+            w.write(clip, label=k, video_id=f"v{k}")
+    r = RecordReader(path)
+    errors = []
+
+    def worker(seed):
+        rng = np.random.RandomState(seed)
+        for _ in range(50):
+            i = int(rng.randint(0, 20))
+            try:
+                meta, frames = r.read(i)
+                assert meta["label"] == i and frames.shape == (3, 12, 10, 3)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errors, errors[:3]
+
+
+def test_clip_loader_early_exit_no_leak(tmp_path):
+    import threading
+
+    _make_frame_tree(tmp_path, n_classes=2, clips_per_class=8)
+    ds = FrameDirDataset(str(tmp_path), clip_size=4)
+    loader = ClipLoader(ds, batch_size=2, prefetch=1, num_workers=2, to_device=False)
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(loader)
+        next(it)  # consume one batch, then abandon the iterator
+        it.close()
+    # producers must have been cancelled, not stranded on q.put
+    assert threading.active_count() <= before + 1

@@ -181,3 +181,21 @@ def test_pallas_gate_math_matches_reference_cell(reference_pt_path):
     ph, pc = pallas_gate_math(gx, gh, c0, interpret=True)
     np.testing.assert_allclose(np.asarray(ph), np.asarray(jh), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(pc), np.asarray(jc), rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_pointwise_conv_matches_jnp():
+    import jax
+    from ivf_tpu.ops.pallas.pointwise_conv import pallas_pointwise_conv
+
+    key = jax.random.PRNGKey(0)
+    # deliberately unaligned shapes: N=2*3*5*5=150, Cin=112, Cout=48
+    x = jax.random.normal(key, (2, 3, 5, 5, 112))
+    w = jax.random.normal(jax.random.PRNGKey(1), (112, 48)) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(2), (48,))
+    ref = np.maximum(np.einsum("bthwc,cd->bthwd", np.asarray(x), np.asarray(w)) + np.asarray(b), 0)
+    out = pallas_pointwise_conv(x, w, b, relu=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+    # no-relu / no-bias path
+    out2 = pallas_pointwise_conv(x, w, None, relu=False, interpret=True)
+    ref2 = np.einsum("bthwc,cd->bthwd", np.asarray(x), np.asarray(w))
+    np.testing.assert_allclose(np.asarray(out2), ref2, rtol=1e-4, atol=1e-4)
