@@ -204,7 +204,9 @@ class I3D(nn.Module):
             out = jnp.mean(x, axis=1)  # TF variant, models/i3d.py:467
         else:
             out = x  # (B, T', num_classes); torch returns (B, C, T') here
-        if self.softmax:
+        # 'Predictions' endpoint == softmax head (reference VALID_ENDPOINTS;
+        # TF variant's Predictions op, models/i3d.py:471-473)
+        if self.softmax or self.final_endpoint == "Predictions":
             out = jax.nn.softmax(out, axis=-1)
         return out
 
