@@ -80,6 +80,9 @@ class I3D(nn.Module):
     # stem on TPU; auto-falls back when stride/shape conditions don't hold)
     fold_bn: bool = True  # inference-mode BN-into-conv folding (layers.py)
     fuse_1x1: bool = True  # inference-mode Inception 1x1x1 branch fusion
+    fuse_3x3: bool = False  # block-diag 3x3x3 branch fusion — measured net-
+    # negative at smth scale (extra FLOPs at 28^2 outweigh op savings); may
+    # win on smaller spatial configs
 
     def setup(self):
         if self.final_endpoint not in VALID_ENDPOINTS:
@@ -117,6 +120,7 @@ class I3D(nn.Module):
                         activation=act,
                         fold_bn=self.fold_bn,
                         fuse_1x1=self.fuse_1x1,
+                        fuse_3x3=self.fuse_3x3,
                     ),
                 )
         if self.last_relu == "leaky":

@@ -139,6 +139,10 @@ class InceptionModule(nn.Module):
     fuse_1x1: bool = True  # at inference, run the three parallel 1x1x1
     # branch convs (b0, b1a, b2a — same input) as ONE conv, splitting the
     # output channels after the shared ReLU
+    fuse_3x3: bool = False  # at inference, run the two 3x3x3 branch convs
+    # as one block-diagonal conv over the contiguous [b1in; b2in] slice —
+    # ~1.4x the FLOPs for half the ops. Off by default: measured net-negative
+    # for the smth config (the big 28^2 layers are FLOP-bound)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -152,7 +156,10 @@ class InceptionModule(nn.Module):
             "b1a": Unit3D(oc[1], (1, 1, 1), activation=act, fold_bn=fb, name="b1a"),
             "b2a": Unit3D(oc[3], (1, 1, 1), activation=act, fold_bn=fb, name="b2a"),
         }
-        if self.fuse_1x1 and fb and not train and act is jax.nn.relu:
+        b1b = Unit3D(oc[2], (3, 3, 3), activation=act, fold_bn=fb, name="b1b")
+        b2b = Unit3D(oc[4], (3, 3, 3), activation=act, fold_bn=fb, name="b2b")
+        fusing = fb and not train and act is jax.nn.relu
+        if self.fuse_1x1 and fusing:
             parts = [mods[k](x, return_folded=True) for k in ("b0", "b1a", "b2a")]
             kcat = jnp.concatenate([k for k, _ in parts], axis=-1)
             bcat = jnp.concatenate([b for _, b in parts])
@@ -164,8 +171,26 @@ class InceptionModule(nn.Module):
             b0 = mods["b0"](x, train)
             b1 = mods["b1a"](x, train)
             b2 = mods["b2a"](x, train)
-        b1 = Unit3D(oc[2], (3, 3, 3), activation=act, fold_bn=fb, name="b1b")(b1, train)
-        b2 = Unit3D(oc[4], (3, 3, 3), activation=act, fold_bn=fb, name="b2b")(b2, train)
+        if self.fuse_3x3 and fusing:
+            # folded kernels of both 3x3x3 branches in one block-diag conv
+            dummy1 = jnp.zeros((1, 1, 1, 1, oc[1]), x.dtype)
+            dummy2 = jnp.zeros((1, 1, 1, 1, oc[3]), x.dtype)
+            k1, c1 = b1b(dummy1, return_folded=True)
+            k2, c2 = b2b(dummy2, return_folded=True)
+            kd = jnp.zeros(
+                (3, 3, 3, oc[1] + oc[3], oc[2] + oc[4]), k1.dtype
+            )
+            kd = kd.at[..., : oc[1], : oc[2]].set(k1)
+            kd = kd.at[..., oc[1] :, oc[2] :].set(k2)
+            b12in = jnp.concatenate([b1, b2], axis=-1)
+            y2 = act(
+                conv3d_same(b12in, kd, (1, 1, 1), jnp.concatenate([c1, c2]))
+            )
+            b1 = y2[..., : oc[2]]
+            b2 = y2[..., oc[2] :]
+        else:
+            b1 = b1b(b1, train)
+            b2 = b2b(b2, train)
         b3 = max_pool3d_same(x, (3, 3, 3), (1, 1, 1))
         b3 = Unit3D(oc[5], (1, 1, 1), activation=act, fold_bn=fb, name="b3b")(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
