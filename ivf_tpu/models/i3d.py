@@ -80,9 +80,10 @@ class I3D(nn.Module):
     # stem on TPU; auto-falls back when stride/shape conditions don't hold)
     fold_bn: bool = True  # inference-mode BN-into-conv folding (layers.py)
     fuse_1x1: bool = True  # inference-mode Inception 1x1x1 branch fusion
-    fuse_3x3: bool = False  # block-diag 3x3x3 branch fusion — measured net-
-    # negative at smth scale (extra FLOPs at 28^2 outweigh op savings); may
-    # win on smaller spatial configs
+    fuse_3x3: object = False  # block-diag 3x3x3 branch fusion: True |
+    # False | 'auto' (<=14^2 blocks only). Both modes measured slightly
+    # net-negative at batch 128 (the blocks are FLOP-relevant there); may
+    # win at small batch where op overhead dominates
 
     def setup(self):
         if self.final_endpoint not in VALID_ENDPOINTS:

@@ -139,7 +139,7 @@ class InceptionModule(nn.Module):
     fuse_1x1: bool = True  # at inference, run the three parallel 1x1x1
     # branch convs (b0, b1a, b2a — same input) as ONE conv, splitting the
     # output channels after the shared ReLU
-    fuse_3x3: bool = False  # at inference, run the two 3x3x3 branch convs
+    fuse_3x3: object = False  # at inference, run the two 3x3x3 branch convs
     # as one block-diagonal conv over the contiguous [b1in; b2in] slice —
     # ~1.4x the FLOPs for half the ops. Off by default: measured net-negative
     # for the smth config (the big 28^2 layers are FLOP-bound)
@@ -171,7 +171,12 @@ class InceptionModule(nn.Module):
             b0 = mods["b0"](x, train)
             b1 = mods["b1a"](x, train)
             b2 = mods["b2a"](x, train)
-        if self.fuse_3x3 and fusing:
+        # 'auto' fuses only small-spatial blocks (<=14^2), where per-op
+        # overhead dominates and the block-diag FLOP premium is cheap
+        fuse3 = self.fuse_3x3 is True or (
+            self.fuse_3x3 == "auto" and x.shape[2] <= 14
+        )
+        if fuse3 and fusing:
             # folded kernels of both 3x3x3 branches in one block-diag conv
             dummy1 = jnp.zeros((1, 1, 1, 1, oc[1]), x.dtype)
             dummy2 = jnp.zeros((1, 1, 1, 1, oc[3]), x.dtype)
