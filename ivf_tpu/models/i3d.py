@@ -174,6 +174,12 @@ class I3D(nn.Module):
                 return x
         return self.head_from(x, "Mixed_5c", train)
 
+    def extract_features(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """Avg-pooled Mixed_5c features (reference Model.extract_features,
+        I3D_doubled.py:382-388)."""
+        feats = self.features_to(x, "Mixed_5c", train)
+        return avg_pool3d_valid(feats, self.logits_pool_shape(), (1, 1, 1))
+
     def features_to(
         self, x: jax.Array, endpoint: str = "Mixed_5c", train: bool = False
     ) -> jax.Array:

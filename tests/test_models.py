@@ -207,3 +207,16 @@ def test_cnn3d_shapes_and_registry():
     assert isinstance(get_model("models.CLSTM_4"), ConvLSTMClassifier)
     assert get_model("clstm_gap").head == "gap"
     assert get_model("models.I3D_doubled_kth").pool_shape == (2, 4, 5)
+
+
+def test_i3d_extract_features(i3d_pair):
+    ref, model, variables = i3d_pair
+    x_t = torch.randn(1, 3, 16, 120, 160)
+    with torch.no_grad():
+        ref_feats = ref.extract_features(x_t).numpy()
+    feats = model.apply(
+        variables, _to_jax_clip(x_t), method=model.extract_features
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats).transpose(0, 4, 1, 2, 3), ref_feats, rtol=1e-3, atol=1e-4
+    )

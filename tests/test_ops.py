@@ -199,3 +199,63 @@ def test_pallas_pointwise_conv_matches_jnp():
     out2 = pallas_pointwise_conv(x, w, None, relu=False, interpret=True)
     ref2 = np.einsum("bthwc,cd->bthwd", np.asarray(x), np.asarray(w))
     np.testing.assert_allclose(np.asarray(out2), ref2, rtol=1e-4, atol=1e-4)
+
+
+def test_torch_batchnorm_train_semantics(reference_pt_path):
+    """TorchBatchNorm train step == torch BatchNorm3d: biased var for
+    normalization, unbiased var + momentum for running stats."""
+    import jax
+    from ivf_tpu.models.layers import TorchBatchNorm
+
+    torch.manual_seed(5)
+    bn_t = torch.nn.BatchNorm3d(6, eps=1e-3, momentum=0.01)
+    bn_t.train()
+    with torch.no_grad():
+        bn_t.weight.uniform_(0.5, 1.5)
+        bn_t.bias.uniform_(-0.5, 0.5)
+        bn_t.running_mean.uniform_(-0.2, 0.2)
+        bn_t.running_var.uniform_(0.8, 1.2)
+    x_t = torch.randn(2, 6, 3, 4, 5)
+    ref = bn_t(x_t).detach().numpy()
+
+    m = TorchBatchNorm(eps=1e-3, momentum=0.01)
+    x_j = jnp.asarray(x_t.numpy().transpose(0, 2, 3, 4, 1))
+    variables = {
+        "params": {
+            "scale": jnp.asarray(bn_t.weight.detach().numpy()),
+            "bias": jnp.asarray(bn_t.bias.detach().numpy()),
+        },
+        "batch_stats": {
+            # pre-forward running stats (torch updated them in the call above;
+            # recreate the pre-call values by inverting the update)
+            "mean": None,
+            "var": None,
+        },
+    }
+    # simpler: rerun torch from known initial stats
+    bn_t2 = torch.nn.BatchNorm3d(6, eps=1e-3, momentum=0.01)
+    bn_t2.train()
+    with torch.no_grad():
+        bn_t2.weight.copy_(bn_t.weight)
+        bn_t2.bias.copy_(bn_t.bias)
+        bn_t2.running_mean.fill_(0.1)
+        bn_t2.running_var.fill_(0.9)
+    ref = bn_t2(x_t).detach().numpy()
+    variables["batch_stats"]["mean"] = jnp.full((6,), 0.1)
+    variables["batch_stats"]["var"] = jnp.full((6,), 0.9)
+    out, updated = m.apply(
+        variables, x_j, train=True, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 4, 1, 2, 3), ref, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(updated["batch_stats"]["mean"]),
+        bn_t2.running_mean.numpy(),
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(updated["batch_stats"]["var"]),
+        bn_t2.running_var.numpy(),
+        rtol=1e-4,
+    )
