@@ -112,7 +112,10 @@ def main():
             300.0 / (batched_sps / batch), 2
         ),
     }
-    details.update(inference_throughput())
+    try:  # secondary metrics must never fail the bench
+        details.update(inference_throughput())
+    except Exception as e:  # noqa: BLE001
+        details["inference_detail_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(details), file=sys.stderr)
 
 
