@@ -100,6 +100,12 @@ class ConvLSTM(nn.Module):
                     TorchBatchNorm(eps=1e-5, momentum=0.1)
                     for _ in self.hidden_channels
                 ]
+        if self.dropout_rate:
+            # one Dropout per layer (the reference shares a single instance,
+            # convolution_lstm.py:87 — stateless, so per-layer is identical)
+            self.dropouts = [
+                nn.Dropout(self.dropout_rate) for _ in self.hidden_channels
+            ]
 
     def _pool(self, x):
         if self.pooling == "avg":
@@ -115,9 +121,7 @@ class ConvLSTM(nn.Module):
                 x = bn(x, train=train)
             return x
         if self.dropout_rate:
-            x = nn.Dropout(self.dropout_rate, name=f"dropout_{layer}")(
-                x, deterministic=not train
-            )
+            x = self.dropouts[layer](x, deterministic=not train)
         if self.batch_norm:
             bn = self.bn if self.shared_bn else self.bns[layer]
             x = bn(x, train=train)

@@ -220,3 +220,29 @@ def test_i3d_extract_features(i3d_pair):
     np.testing.assert_allclose(
         np.asarray(feats).transpose(0, 4, 1, 2, 3), ref_feats, rtol=1e-3, atol=1e-4
     )
+
+
+def test_convlstm_dropout_train_path():
+    """ConvLSTM with dropout>0 trains (regression: nn.Dropout must be
+    created in setup for the setup-based stack)."""
+    model = ConvLSTMClassifier(
+        num_classes=3,
+        nb_lstm_units=4,
+        lstm_layers=2,
+        conv_kernel_size=3,
+        effective_steps=(3,),
+        batch_norm=True,
+        dropout_rate=0.5,
+    )
+    x = jnp.ones((2, 4, 16, 16, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    out_eval = model.apply(vars_, x)  # deterministic path
+    assert out_eval.shape == (2, 3)
+    out_train, _ = model.apply(
+        vars_,
+        x,
+        train=True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )
+    assert np.isfinite(np.asarray(out_train)).all()
