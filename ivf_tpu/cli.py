@@ -152,33 +152,29 @@ def main(argv=None):
 
 
 def _make_records(args):
+    import os
+
     import numpy as np
 
     from ivf_tpu.data import (
-        FrameDirDataset,
+        FrameDirCatalog,
         RecordWriter,
         sample_all,
         sample_cohesive_crop,
         sample_fixed_count,
     )
+    from ivf_tpu.data.loaders import _load_frame
 
-    ds = FrameDirDataset(args.frames_root, clip_size=1, get_item_id=True)
-    import os
-
+    catalog = FrameDirCatalog(args.frames_root)
     with RecordWriter(args.out) as w:
-        for item in ds.catalog.items:
-            frame_files = sorted(
-                f for f in os.listdir(item.path) if f.endswith(".jpg")
-            )
-            n = len(frame_files)
+        for item in catalog.items:
+            n = sum(1 for f in os.listdir(item.path) if f.endswith(".jpg"))
             if args.mode == "all":
                 idxs = sample_all(1, n)
             elif args.mode == "sample":
                 idxs = sample_fixed_count(1, n, args.nb_frames)
             else:
                 idxs = sample_cohesive_crop(1, n, args.nb_frames)
-            from ivf_tpu.data.loaders import _load_frame
-
             frames = np.stack(
                 [
                     _load_frame(os.path.join(item.path, f"frame{i:02d}.jpg"))

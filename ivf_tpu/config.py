@@ -181,8 +181,6 @@ class Config:
                 setattr(cfg, top[k], v)
             elif k in key_map:
                 sec, attr = key_map[k]
-                if k == "stride_mod_layers":
-                    continue
                 if k == "shuffle":
                     v = bool(v)
                 if k == "soft_max":

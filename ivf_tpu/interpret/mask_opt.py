@@ -167,7 +167,7 @@ def find_mask(
             opt_state,
         )
         n_run = n_run + active.astype(jnp.int32)
-        return (logits, opt_state, loss, active, n_run), (loss, aux)
+        return (logits, opt_state, loss, active, n_run), None
 
     init = (
         mask_init_logits,
@@ -176,7 +176,7 @@ def find_mask(
         jnp.asarray(True),
         jnp.asarray(0, jnp.int32),
     )
-    (logits, _, _, _, n_run), (losses, auxes) = jax.lax.scan(
+    (logits, _, _, _, n_run), _ = jax.lax.scan(
         step, init, None, length=n_steps
     )
 

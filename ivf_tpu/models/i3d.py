@@ -162,16 +162,37 @@ class I3D(nn.Module):
             x, spec["window"], (st, spec["stride_hw"], spec["stride_hw"])
         )
 
+    def _walk_trunk(
+        self,
+        x: jax.Array,
+        train: bool,
+        start_after: Optional[str] = None,
+        stop_at: Optional[str] = None,
+        sow: bool = False,
+    ) -> jax.Array:
+        """Apply trunk endpoints in order, optionally starting after /
+        stopping at a named endpoint and sowing intermediates."""
+        started = start_after is None
+        for name, kind, spec in _TRUNK:
+            if not started:
+                started = name == start_after
+                continue
+            x = self._apply_endpoint(name, kind, spec, x, train)
+            if sow:
+                # key is "<endpoint>_out" — a bare endpoint name would
+                # collide with the submodule scope of the same name
+                self.sow("intermediates", f"{name}_out", x)
+            if name == stop_at:
+                return x
+        return x
+
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         """x: (B, T, H, W, C) -> logits (B, num_classes) (or the activation
         at ``final_endpoint`` if that is a trunk endpoint)."""
-        for name, kind, spec in _TRUNK:
-            x = self._apply_endpoint(name, kind, spec, x, train)
-            # key is "<endpoint>_out" — a bare endpoint name would collide
-            # with the submodule scope of the same name
-            self.sow("intermediates", f"{name}_out", x)
-            if self.final_endpoint == name:
-                return x
+        stop = self.final_endpoint if self.final_endpoint in TRUNK_ENDPOINTS else None
+        x = self._walk_trunk(x, train, stop_at=stop, sow=True)
+        if stop is not None:
+            return x
         return self.head_from(x, "Mixed_5c", train)
 
     def extract_features(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -186,11 +207,7 @@ class I3D(nn.Module):
         """Run the trunk up to and including ``endpoint`` — the Grad-CAM
         target activation."""
         assert endpoint in TRUNK_ENDPOINTS, endpoint
-        for name, kind, spec in _TRUNK:
-            x = self._apply_endpoint(name, kind, spec, x, train)
-            if name == endpoint:
-                return x
-        return x
+        return self._walk_trunk(x, train, stop_at=endpoint)
 
     def head_from(
         self, features: jax.Array, endpoint: str = "Mixed_5c", train: bool = False
@@ -200,10 +217,7 @@ class I3D(nn.Module):
         conv -> squeeze -> [softmax], I3D_doubled.py:310-333, 360-371).
         Grad-CAM differentiates this w.r.t. ``features``."""
         assert endpoint in TRUNK_ENDPOINTS, endpoint
-        idx = TRUNK_ENDPOINTS.index(endpoint)
-        x = features
-        for name, kind, spec in _TRUNK[idx + 1 :]:
-            x = self._apply_endpoint(name, kind, spec, x, train)
+        x = self._walk_trunk(features, train, start_after=endpoint)
         x = avg_pool3d_valid(x, self.logits_pool_shape(), (1, 1, 1))
         x = self.dropout(x, deterministic=not train)
         x = self.logits(x, train)
