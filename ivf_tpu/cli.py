@@ -166,23 +166,37 @@ def _make_records(args):
     from ivf_tpu.data.loaders import _load_frame
 
     catalog = FrameDirCatalog(args.frames_root)
+    skipped = 0
     with RecordWriter(args.out) as w:
         for item in catalog.items:
-            n = sum(1 for f in os.listdir(item.path) if f.endswith(".jpg"))
+            # index the actual (sorted) filenames — gaps or stray .jpg files
+            # must not shift the reconstructed frame names
+            frame_files = sorted(
+                f for f in os.listdir(item.path) if f.endswith(".jpg")
+            )
+            n = len(frame_files)
+            if n == 0:
+                print(f"  skipping empty clip dir {item.path}")
+                skipped += 1
+                continue
             if args.mode == "all":
                 idxs = sample_all(1, n)
+            elif n == 1:
+                # the samplers (faithful to the reference) assert on
+                # single-frame clips; repeat the frame instead
+                idxs = [1] * args.nb_frames
             elif args.mode == "sample":
                 idxs = sample_fixed_count(1, n, args.nb_frames)
             else:
                 idxs = sample_cohesive_crop(1, n, args.nb_frames)
             frames = np.stack(
                 [
-                    _load_frame(os.path.join(item.path, f"frame{i:02d}.jpg"))
+                    _load_frame(os.path.join(item.path, frame_files[i - 1]))
                     for i in idxs
                 ]
             )
             w.write(frames, label=int(item.label), video_id=item.id)
-    print(f"wrote {args.out}")
+    print(f"wrote {args.out}" + (f" ({skipped} empty clips skipped)" if skipped else ""))
 
 
 if __name__ == "__main__":

@@ -186,3 +186,55 @@ def test_i3d_find_masks_end_to_end(tmp_path):
     assert tm[0]["time_mask"].shape == (16,)
     assert gc[0]["GCHeatMap"].shape == (16, 64, 64)
     assert np.isfinite(gc[0]["GCHeatMap"]).all()
+
+
+def test_make_records_edge_cases(tmp_path):
+    """Stray jpgs, gaps, single-frame and empty clip dirs don't break
+    make-records (code-review regression)."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+
+    def put(path, name):
+        Image.fromarray(rng.randint(0, 255, (8, 8, 3), dtype=np.uint8)).save(
+            str(path / name), "JPEG"
+        )
+
+    root = tmp_path / "frames" / "0"
+    # normal clip with a stray non-frame jpg and a numbering gap
+    d1 = root / "clip_a"
+    d1.mkdir(parents=True)
+    for i in (1, 2, 4, 5):
+        put(d1, f"frame{i:02d}.jpg")
+    put(d1, "preview.jpg")
+    # single-frame clip
+    d2 = root / "clip_b"
+    d2.mkdir()
+    put(d2, "frame01.jpg")
+    # empty clip
+    d3 = root / "clip_c"
+    d3.mkdir()
+
+    from ivf_tpu.cli import main
+
+    out = str(tmp_path / "edge.ivfrecords")
+    main(
+        [
+            "make-records",
+            "--frames-root",
+            str(tmp_path / "frames"),
+            "--out",
+            out,
+            "--nb-frames",
+            "4",
+            "--mode",
+            "sample",
+        ]
+    )
+    from ivf_tpu.data.records import RecordReader
+
+    r = RecordReader(out)
+    assert len(r) == 2  # empty clip skipped
+    for i in range(2):
+        meta, frames = r.read(i)
+        assert frames.shape == (4, 8, 8, 3)
