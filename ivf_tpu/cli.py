@@ -169,10 +169,14 @@ def _make_records(args):
     skipped = 0
     with RecordWriter(args.out) as w:
         for item in catalog.items:
-            # index the actual (sorted) filenames — gaps or stray .jpg files
-            # must not shift the reconstructed frame names
+            # index the actual (sorted) frame filenames — gaps must not
+            # shift indices and stray .jpg files (posters etc.) are excluded
+            import re
+
             frame_files = sorted(
-                f for f in os.listdir(item.path) if f.endswith(".jpg")
+                f
+                for f in os.listdir(item.path)
+                if re.fullmatch(r"frame\d+\.jpg", f)
             )
             n = len(frame_files)
             if n == 0:
