@@ -490,6 +490,20 @@ def find_masks(
                     "combined",
                 )
                 clip_np = np.asarray(clips_k[j])
+                # per-clip score text files
+                # (FindMasksComparison_I3D_smth.py:234-241)
+                os.makedirs(out_folder, exist_ok=True)
+                for nm, val in (
+                    ("Freeze", float(np.asarray(res.freeze_score)[j])),
+                    ("Reverse", float(np.asarray(res.reverse_score)[j])),
+                ):
+                    with open(
+                        os.path.join(
+                            out_folder, f"ClassScore{nm}case{tag}.txt"
+                        ),
+                        "w",
+                    ) as f:
+                        f.write(str(val))
                 for ptype in ("freeze", "reverse"):
                     pert = np.asarray(
                         perturb_sequence(
