@@ -238,3 +238,17 @@ def test_make_records_edge_cases(tmp_path):
     for i in range(2):
         meta, frames = r.read(i)
         assert frames.shape == (4, 8, 8, 3)
+
+
+def test_find_masks_kth_filter_no_matches(e2e_cfg):
+    """kth_clips_filter with no matching tags: clean empty results, pickles
+    still written."""
+    state = test_e2e_train_and_eval.state
+    e2e_cfg.mask.kth_clips_filter = True
+    try:
+        tm, gc = find_masks(
+            e2e_cfg, state.variables(), max_batches=1, save_viz=False
+        )
+    finally:
+        e2e_cfg.mask.kth_clips_filter = False
+    assert tm == [] and gc == []
