@@ -9,9 +9,11 @@ preprocessing (scale/normalize) runs jitted on device.
 
 ``FrameDirDataset`` mirrors ``ImLoader`` (data_loader_jpg.py): clip dirs of
 ``frame01..frameNN.jpg``; ``KTHFrameDataset`` mirrors ``KTHImLoader``
-(data_loader_kth.py): numbered dirs + class.txt/label.txt. Both emit float32
-(T, H, W, C) clips of raw 0..255 values — the reference applies no
-normalization at load time.
+(data_loader_kth.py): numbered dirs + class.txt/label.txt. Both emit
+**uint8** (T, H, W, C) clips of raw 0..255 values — the reference applies
+no normalization at load time, and shipping uint8 instead of float32
+quarters host->HBM bytes; consumers cast to float on device inside their
+jitted steps (train/loop.py, api.find_masks).
 """
 
 from __future__ import annotations
@@ -29,6 +31,8 @@ def _load_frame(path: str) -> np.ndarray:
     from PIL import Image
 
     im = Image.open(path)
+    if im.mode != "RGB":  # grayscale/CMYK JPEGs (e.g. KTH) must not crash
+        im = im.convert("RGB")
     arr = np.frombuffer(im.tobytes(), dtype=np.uint8)
     return arr.reshape((im.size[1], im.size[0], 3))
 
@@ -66,7 +70,7 @@ class FrameDirDataset:
             )
             for i in range(self.clip_size)
         ]
-        clip = np.asarray(frames, dtype=np.float32)
+        clip = np.asarray(frames, dtype=np.uint8)
         if self.get_item_id:
             return clip, int(item.label), item.id
         return clip, int(item.label)
@@ -105,7 +109,7 @@ class KTHFrameDataset:
             _load_frame(os.path.join(base, f"frame{i + 1:02d}.jpg"))
             for i in range(self.clip_size)
         ]
-        clip = np.asarray(frames, dtype=np.float32)
+        clip = np.asarray(frames, dtype=np.uint8)
         with open(os.path.join(base, "class.txt")) as f:
             label = int(f.readline())
         if self.get_item_id:
@@ -144,7 +148,7 @@ class RecordDataset:
 
     def __getitem__(self, index: int):
         meta, frames = self.reader.read(index)
-        clip = frames.astype(np.float32)
+        clip = frames  # uint8 straight from the decoder
         if self.clip_size is not None:
             t = clip.shape[0]
             if t >= self.clip_size:
@@ -249,10 +253,7 @@ class ClipLoader:
         t = len(samples[0][0])
         flat = [p for s in samples for p in s[0]]
         frames = native.decode_batch(flat, n_threads=self.num_workers)
-        clips = (
-            frames.reshape(len(samples), t, *frames.shape[1:])
-            .astype(np.float32)
-        )
+        clips = frames.reshape(len(samples), t, *frames.shape[1:])  # uint8
         labels = np.asarray([s[1] for s in samples], np.int32)
         if len(samples[0]) == 3:
             return clips, labels, [s[2] for s in samples]
@@ -281,21 +282,27 @@ class ClipLoader:
         stop = object()
         cancel = threading.Event()
 
+        def _put(item) -> bool:
+            # bounded put that honors consumer cancellation so an
+            # early break (test_run / max_steps) can't strand us
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for indices in self._batch_indices():
-                    item = self._assemble(pool, indices)
-                    # bounded put that honors consumer cancellation so an
-                    # early break (test_run / max_steps) can't strand us
-                    while not cancel.is_set():
-                        try:
-                            q.put(item, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if cancel.is_set():
-                        return
-            q.put(stop)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for indices in self._batch_indices():
+                        if not _put(self._assemble(pool, indices)):
+                            return
+            except BaseException as exc:  # surface on the consumer side
+                _put(exc)
+                return
+            _put(stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -304,6 +311,8 @@ class ClipLoader:
                 item = q.get()
                 if item is stop:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield self._place(item)
         finally:
             cancel.set()

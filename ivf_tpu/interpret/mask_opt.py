@@ -153,7 +153,7 @@ def find_mask(
         return total, (l1, tv, class_score)
 
     def step(carry, _):
-        logits, opt_state, old_loss, active, n_run = carry
+        logits, opt_state, old_loss, active, n_run, _ = carry
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(logits)
         if early_stop:
             converged = jnp.abs(old_loss - loss) < eta
@@ -167,22 +167,28 @@ def find_mask(
             opt_state,
         )
         n_run = n_run + active.astype(jnp.int32)
-        return (logits, opt_state, loss, active, n_run), None
+        return (logits, opt_state, loss, active, n_run, aux), None
 
+    zero = jnp.zeros((), seq.dtype)
     init = (
         mask_init_logits,
         opt.init(mask_init_logits),
         jnp.asarray(999999.0, seq.dtype),
         jnp.asarray(True),
         jnp.asarray(0, jnp.int32),
+        (zero, zero, zero),  # aux placeholder (overwritten on step 1)
     )
-    (logits, _, _, _, n_run), _ = jax.lax.scan(
+    (logits, _, final_loss, _, n_run, (l1, tv, freeze_score)), _ = jax.lax.scan(
         step, init, None, length=n_steps
     )
+    if n_steps == 0:  # degenerate: report metrics at the (unstepped) init
+        final_loss, (l1, tv, freeze_score) = loss_fn(logits)
 
-    # final metrics at the optimized mask (reference reports the last
-    # computed class_loss; with early_stop off these coincide)
-    final_loss, (l1, tv, freeze_score) = loss_fn(logits)
+    # Reported losses are the LAST IN-LOOP values — computed at the logits
+    # before the final Adam step — exactly what the reference writes out
+    # (FindMasksComparison_I3D_smth.py:198-239: class_loss.item() is recorded
+    # after the loop without recomputation, while time_mask gets the final
+    # step applied). The mask and reverse score use the post-step logits.
     mask = jax.nn.sigmoid(logits)
     reverse_score = score_fn(perturb_sequence(seq, mask, "reverse"))[target]
     orig_score = score_fn(seq)[target]
