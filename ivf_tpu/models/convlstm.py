@@ -37,29 +37,58 @@ from ivf_tpu.ops.convlstm_cell import convlstm_cell_step
 
 
 class ConvLSTMCell(nn.Module):
-    """Single cell; params fused in (i,f,c,o) gate order."""
+    """Single cell; params fused in (i,f,c,o) gate order.
+
+    ``recurrent_activation='hard_sigmoid'`` + ``unit_forget_bias=True``
+    reproduce the Keras ConvLSTM2D gate semantics of the TF model family
+    (video_features_tf/models/clstm.py:21-50). The spatial padding stays
+    torch-symmetric for both families (the Keras blocks use 'valid' input
+    padding — a deliberate unification, documented in MIGRATION.md)."""
 
     hidden_channels: int
-    kernel_size: int = 5
+    kernel_size: Tuple[int, int] | int = 5  # may be rectangular, e.g. (3, 5)
     conv_stride: int = 1
     use_pallas: bool = False
+    recurrent_activation: str = "sigmoid"  # sigmoid | hard_sigmoid
+    unit_forget_bias: bool = False  # Keras default: forget-gate bias = 1
+    x_padding: str = "torch"  # torch (symmetric same-ish) | valid (Keras)
 
     @nn.compact
     def __call__(self, x, h, c):
-        cin, ch, k = x.shape[-1], self.hidden_channels, self.kernel_size
+        cin, ch = x.shape[-1], self.hidden_channels
+        k1, k2 = (
+            (self.kernel_size, self.kernel_size)
+            if isinstance(self.kernel_size, int)
+            else tuple(self.kernel_size)
+        )
         wx = self.param(
             "wx",
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
-            (k, k, cin, 4 * ch),
+            (k1, k2, cin, 4 * ch),
         )
-        bx = self.param("bx", nn.initializers.zeros, (4 * ch,))
+        if self.unit_forget_bias:
+            bias_init = lambda key, shape, dtype=jnp.float32: (
+                jnp.zeros(shape, dtype).at[ch : 2 * ch].set(1.0)
+            )
+        else:
+            bias_init = nn.initializers.zeros
+        bx = self.param("bx", bias_init, (4 * ch,))
         wh = self.param(
             "wh",
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
-            (k, k, ch, 4 * ch),
+            (k1, k2, ch, 4 * ch),
         )
         return convlstm_cell_step(
-            x, h, c, wx, bx, wh, self.conv_stride, self.use_pallas
+            x,
+            h,
+            c,
+            wx,
+            bx,
+            wh,
+            self.conv_stride,
+            self.use_pallas,
+            self.recurrent_activation,
+            self.x_padding,
         )
 
 
@@ -74,7 +103,7 @@ class ConvLSTM(nn.Module):
     """
 
     hidden_channels: Tuple[int, ...]
-    kernel_size: int = 5
+    kernel_size: Tuple[int, int] | int = 5
     conv_stride: int = 1
     pool_kernel: Tuple[int, int] = (2, 2)
     effective_steps: Tuple[int, ...] = ()
@@ -84,20 +113,39 @@ class ConvLSTM(nn.Module):
     block_order: str = "torch"  # 'torch': drop->bn->pool ; 'tf': pool->bn
     dropout_rate: float = 0.0
     use_pallas: bool = False
+    recurrent_activation: str = "sigmoid"
+    unit_forget_bias: bool = False
+    x_padding: str = "torch"  # torch | valid (Keras padding='valid')
+    # nn.scan recurrence (one compiled step body, O(1) HLOs in T) vs the
+    # compile-time-unrolled loop (O(T) HLOs; kept for comparison/debug)
+    use_scan: bool = True
+    remat: bool = False  # rematerialize carries in the scan body
 
     def setup(self):
         self.cells = [
-            ConvLSTMCell(ch, self.kernel_size, self.conv_stride, self.use_pallas)
+            ConvLSTMCell(
+                ch,
+                self.kernel_size,
+                self.conv_stride,
+                self.use_pallas,
+                self.recurrent_activation,
+                self.unit_forget_bias,
+                self.x_padding,
+            )
             for ch in self.hidden_channels
         ]
         if self.batch_norm:
+            if self.block_order == "tf":
+                # tf.layers.batch_normalization defaults (clstm.py:49)
+                bn_eps, bn_mom = 1e-3, 0.01
+            else:
+                # torch BatchNorm2d defaults (convolution_lstm.py:85)
+                bn_eps, bn_mom = 1e-5, 0.1
             if self.shared_bn:
-                # eps/momentum from torch BatchNorm2d defaults
-                # (convolution_lstm.py:85)
-                self.bn = TorchBatchNorm(eps=1e-5, momentum=0.1)
+                self.bn = TorchBatchNorm(eps=bn_eps, momentum=bn_mom)
             else:
                 self.bns = [
-                    TorchBatchNorm(eps=1e-5, momentum=0.1)
+                    TorchBatchNorm(eps=bn_eps, momentum=bn_mom)
                     for _ in self.hidden_channels
                 ]
         if self.dropout_rate:
@@ -140,33 +188,96 @@ class ConvLSTM(nn.Module):
         through the pooling/dense consumers but not back through time."""
         b, t = clip.shape[0], clip.shape[1]
         n_layers = len(self.hidden_channels)
-        states = [None] * n_layers
         effective = list(self.effective_steps) or [t - 1]
-        outputs = []
-        clstm_seq = []
-        for step in range(t):
-            x = clip[:, step]
-            for i, cell in enumerate(self.cells):
-                if states[i] is None:
-                    hh = x.shape[1] // self.conv_stride
-                    ww = x.shape[2] // self.conv_stride
-                    zeros = jnp.zeros(
-                        (b, hh, ww, self.hidden_channels[i]), clip.dtype
-                    )
-                    states[i] = (zeros, zeros)
-                h, c = states[i]
-                h, c = cell(x, h, c)
-                states[i] = (h, c)
-                h_eff = h
-                if i == n_layers - 1:
-                    if feature_offset is not None:
-                        h_eff = h + feature_offset[:, step]
-                    clstm_seq.append(h_eff)
-                x = self._block_tail(h_eff, i, train)
-            if step in effective:
-                outputs.append(x)
-        effective_outputs = jnp.stack(outputs, axis=0)
-        clstm_output = jnp.stack(clstm_seq, axis=1)  # (B, T, H'', W'', C')
+
+        # per-layer zero states with statically computed spatial dims:
+        # the cell conv uses torch padding p=(k-1)//2 (or none for 'valid'),
+        # so out = (s + 2p - k)//stride + 1; the block tail then VALID-pools
+        # by pool_kernel (out = s//pk for stride=pk windows)
+        k1, k2 = (
+            (self.kernel_size, self.kernel_size)
+            if isinstance(self.kernel_size, int)
+            else tuple(self.kernel_size)
+        )
+        if self.x_padding == "valid":
+            p1, p2 = 0, 0
+        else:
+            p1, p2 = (k1 - 1) // 2, (k2 - 1) // 2
+        carry = []
+        h_sp, w_sp = clip.shape[2], clip.shape[3]
+        for ch in self.hidden_channels:
+            hh = (h_sp + 2 * p1 - k1) // self.conv_stride + 1
+            ww = (w_sp + 2 * p2 - k2) // self.conv_stride + 1
+            zeros = jnp.zeros((b, hh, ww, ch), clip.dtype)
+            carry.append((zeros, zeros))
+            h_sp = (hh - self.pool_kernel[0]) // self.pool_kernel[0] + 1
+            w_sp = (ww - self.pool_kernel[1]) // self.pool_kernel[1] + 1
+        carry = tuple(carry)
+
+        if self.use_scan:
+            def body(mdl, states, xs):
+                x, offset_t = xs
+                new_states = []
+                h_eff = None
+                for i, cell in enumerate(mdl.cells):
+                    h, c = cell(x, *states[i])
+                    new_states.append((h, c))
+                    h_eff = h
+                    if i == n_layers - 1 and offset_t is not None:
+                        h_eff = h + offset_t
+                    x = mdl._block_tail(h_eff, i, train)
+                return tuple(new_states), (x, h_eff)
+
+            if self.remat:
+                body = nn.remat(body, prevent_cse=False)
+            if train and self.batch_norm:
+                # running stats update per timestep, sequentially — the
+                # stats are threaded through the scan as a carried collection
+                var_kwargs = dict(
+                    variable_broadcast="params",
+                    variable_carry="batch_stats",
+                )
+            else:
+                var_kwargs = dict(
+                    variable_broadcast=("params", "batch_stats")
+                )
+            scan = nn.scan(
+                body,
+                in_axes=0,
+                out_axes=0,
+                split_rngs={"params": False, "dropout": True},
+                **var_kwargs,
+            )
+            xs_clip = jnp.swapaxes(clip, 0, 1)  # (T, B, H, W, C)
+            offs = (
+                jnp.swapaxes(feature_offset, 0, 1)
+                if feature_offset is not None
+                else None
+            )
+            _, (block_outs, clstm_seq) = scan(self, carry, (xs_clip, offs))
+            effective_outputs = jnp.stack(
+                [block_outs[s] for s in effective], axis=0
+            )
+            clstm_output = jnp.swapaxes(clstm_seq, 0, 1)  # (B, T, ...)
+        else:
+            states = list(carry)
+            outputs = []
+            clstm_seq = []
+            for step in range(t):
+                x = clip[:, step]
+                for i, cell in enumerate(self.cells):
+                    h, c = cell(x, *states[i])
+                    states[i] = (h, c)
+                    h_eff = h
+                    if i == n_layers - 1:
+                        if feature_offset is not None:
+                            h_eff = h + feature_offset[:, step]
+                        clstm_seq.append(h_eff)
+                    x = self._block_tail(h_eff, i, train)
+                if step in effective:
+                    outputs.append(x)
+            effective_outputs = jnp.stack(outputs, axis=0)
+            clstm_output = jnp.stack(clstm_seq, axis=1)  # (B, T, ...)
         self.sow("intermediates", "clstm_output", clstm_output)
         return effective_outputs, clstm_output
 
@@ -185,7 +296,7 @@ class ConvLSTMClassifier(nn.Module):
     num_classes: int = 174
     nb_lstm_units: int = 32
     lstm_layers: int = 4
-    conv_kernel_size: int = 5
+    conv_kernel_size: Tuple[int, int] | int = 5
     conv_stride: int = 1
     pool_kernel: Tuple[int, int] = (2, 2)
     effective_steps: Tuple[int, ...] = (4, 8, 12, 15)
@@ -198,6 +309,12 @@ class ConvLSTMClassifier(nn.Module):
     add_softmax: bool = False
     head: str = "fc"  # 'fc' | 'gap'
     hidden_channels_override: Optional[Tuple[int, ...]] = None
+    recurrent_activation: str = "sigmoid"
+    unit_forget_bias: bool = False
+    x_padding: str = "torch"
+    use_scan: bool = True
+    remat: bool = False
+    use_pallas: bool = False  # fused gate math via ops/pallas/fused_gates
 
     def setup(self):
         hidden = self.hidden_channels_override or (
@@ -214,6 +331,12 @@ class ConvLSTMClassifier(nn.Module):
             pooling=self.pooling,
             block_order=self.block_order,
             dropout_rate=self.dropout_rate,
+            recurrent_activation=self.recurrent_activation,
+            unit_forget_bias=self.unit_forget_bias,
+            x_padding=self.x_padding,
+            use_scan=self.use_scan,
+            remat=self.remat,
+            use_pallas=self.use_pallas,
         )
         if self.head == "fc":
             self.end_fc = nn.Dense(self.num_classes)

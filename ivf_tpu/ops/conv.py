@@ -80,13 +80,18 @@ def conv2d_same_torch(
     x: (B, H, W, C); kernel: (kH, kW, Cin, Cout).
     """
     if torch_padding is None:
-        torch_padding = (kernel.shape[0] - 1) // 2
-    p = torch_padding
+        torch_padding = (
+            (kernel.shape[0] - 1) // 2,
+            (kernel.shape[1] - 1) // 2,
+        )
+    if isinstance(torch_padding, int):
+        torch_padding = (torch_padding, torch_padding)
+    p1, p2 = torch_padding
     out = lax.conv_general_dilated(
         x.astype(kernel.dtype),
         kernel,
         window_strides=(stride, stride),
-        padding=((p, p), (p, p)),
+        padding=((p1, p1), (p2, p2)),
         dimension_numbers=_CONV2D_DIMS,
         preferred_element_type=preferred_dtype or kernel.dtype,
     )

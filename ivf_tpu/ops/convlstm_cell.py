@@ -37,11 +37,24 @@ import jax.numpy as jnp
 from ivf_tpu.ops.conv import conv2d_same_torch
 
 
+def keras_hard_sigmoid(x: jax.Array) -> jax.Array:
+    """Keras's hard_sigmoid: clip(0.2*x + 0.5, 0, 1). NOTE this is NOT
+    ``jax.nn.hard_sigmoid`` (slope 1/6); Keras uses slope 0.2 — the gate
+    activation of Keras ConvLSTM2D (video_features_tf/models/clstm.py:21)."""
+    return jnp.clip(0.2 * x + 0.5, 0.0, 1.0)
+
+
 def fused_gate_math(
-    gates_x: jax.Array, gates_h: jax.Array | None, c: jax.Array
+    gates_x: jax.Array,
+    gates_h: jax.Array | None,
+    c: jax.Array,
+    recurrent_activation: str = "sigmoid",
 ) -> Tuple[jax.Array, jax.Array]:
     """Elementwise LSTM gate block. gates_*: (..., 4*H) in (i,f,c,o) order;
-    gates_h may be None when the x/h convs were already merged."""
+    gates_h may be None when the x/h convs were already merged.
+
+    ``recurrent_activation='hard_sigmoid'`` reproduces the Keras ConvLSTM2D
+    gate nonlinearity for the TF model family."""
     hidden = c.shape[-1]
     z = gates_x if gates_h is None else gates_x + gates_h
     zi, zf, zc, zo = (
@@ -50,10 +63,15 @@ def fused_gate_math(
         z[..., 2 * hidden : 3 * hidden],
         z[..., 3 * hidden :],
     )
-    i = jax.nn.sigmoid(zi)
-    f = jax.nn.sigmoid(zf)
+    act = (
+        keras_hard_sigmoid
+        if recurrent_activation == "hard_sigmoid"
+        else jax.nn.sigmoid
+    )
+    i = act(zi)
+    f = act(zf)
     new_c = f * c + i * jnp.tanh(zc)
-    o = jax.nn.sigmoid(zo)
+    o = act(zo)
     new_h = o * jnp.tanh(new_c)
     return new_h, new_c
 
@@ -67,31 +85,45 @@ def convlstm_cell_step(
     wh: jax.Array,
     conv_stride: int = 1,
     use_pallas: bool = False,
+    recurrent_activation: str = "sigmoid",
+    x_padding: str = "torch",
 ) -> Tuple[jax.Array, jax.Array]:
     """One ConvLSTM timestep.
 
-    x: (B, H, W, Cin); h, c: (B, H', W', Ch) where H' = H // conv_stride.
-    wx: (k, k, Cin, 4*Ch) with bias bx (4*Ch,); wh: (k, k, Ch, 4*Ch), no bias
-    (reference gives hidden convs ``bias=False``, convolution_lstm.py:26-32).
+    x: (B, H, W, Cin); h, c: (B, H', W', Ch).
+    wx: (k1, k2, Cin, 4*Ch) with bias bx (4*Ch,); wh: (k1, k2, Ch, 4*Ch), no
+    bias (reference gives hidden convs ``bias=False``,
+    convolution_lstm.py:26-32). Kernels may be rectangular (the TF KTH
+    config uses (3, 5), config_train_kth_clstm.py:28-33).
 
-    Input convs use torch symmetric padding (k-1)//2 with ``conv_stride``;
-    hidden convs are always stride 1 (reference lines 25-32).
+    ``x_padding='torch'``: input conv uses torch symmetric padding
+    (k-1)//2 (the torch family). ``x_padding='valid'``: no input padding —
+    Keras ConvLSTM2D with padding='valid' (the TF KTH/smth configs). The
+    hidden conv is always stride 1 with 'same'-style symmetric padding
+    (Keras pads the recurrent conv SAME regardless of the input padding).
     Returns (new_h, new_c).
 
-    When ``conv_stride == 1`` the x- and h-convolutions share stride and
-    padding, so they run as ONE conv over the channel-concat
-    ``[x; h] * [wx; wh]`` — identical math, half the conv ops per step.
+    When stride is 1 and both convs share padding, the x- and h-convs run
+    as ONE conv over the channel-concat ``[x; h] * [wx; wh]`` — identical
+    math, half the conv ops per step.
     """
-    if conv_stride == 1 and x.shape[1:3] == h.shape[1:3]:
+    if (
+        x_padding == "torch"
+        and conv_stride == 1
+        and x.shape[1:3] == h.shape[1:3]
+    ):
         xh = jnp.concatenate([x, h.astype(x.dtype)], axis=-1)
         w = jnp.concatenate([wx, wh.astype(wx.dtype)], axis=-2)
         gates = conv2d_same_torch(xh, w, stride=1, bias=bx)
         gates_x, gates_h = gates, None
     else:
-        gates_x = conv2d_same_torch(x, wx, stride=conv_stride, bias=bx)
+        px = (0, 0) if x_padding == "valid" else None
+        gates_x = conv2d_same_torch(
+            x, wx, stride=conv_stride, bias=bx, torch_padding=px
+        )
         gates_h = conv2d_same_torch(h, wh, stride=1)
-    if use_pallas:
+    if use_pallas and recurrent_activation == "sigmoid":
         from ivf_tpu.ops.pallas.fused_gates import pallas_gate_math
 
         return pallas_gate_math(gates_x, gates_h, c)
-    return fused_gate_math(gates_x, gates_h, c)
+    return fused_gate_math(gates_x, gates_h, c, recurrent_activation)

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 
 class ReduceLROnPlateau:
+    monitor = "loss"
+
     def __init__(
         self,
         lr: float,
@@ -48,23 +50,38 @@ class ReduceLROnPlateau:
 
 
 class PatienceHalving:
-    """TF-half manual halving: if the monitored value (val accuracy) has not
-    improved for ``patience`` epochs, halve the lr (not below lr_end)."""
+    """TF-half manual halving (train_kth.py:294-312): an epoch counts as
+    no-improvement when val accuracy gains < 1e-4 over the best; after
+    ``patience`` such epochs the lr is halved unless already below
+    ``2*lr_end``, and the patience counter resets either way.
 
-    def __init__(self, lr: float, patience: int = 5, lr_end: float = 1e-8):
+    ``monitor`` tells ``fit`` to feed val accuracy (0..1), not val loss.
+    """
+
+    monitor = "accuracy"
+
+    def __init__(
+        self,
+        lr: float,
+        patience: int = 5,
+        lr_end: float = 1e-8,
+        threshold: float = 1e-4,
+    ):
         self.lr = lr
         self.patience = patience
         self.lr_end = lr_end
+        self.threshold = threshold
         self.best = -float("inf")
         self.bad = 0
 
     def step(self, metric: float) -> float:
-        if metric > self.best:
-            self.best = metric
-            self.bad = 0
-        else:
+        if (metric - self.best) < self.threshold:
             self.bad += 1
-        if self.bad >= self.patience and self.lr / 2.0 >= self.lr_end:
-            self.lr /= 2.0
+            if self.bad == self.patience:
+                if self.lr >= 2.0 * self.lr_end:
+                    self.lr *= 0.5
+                self.bad = 0
+        else:
+            self.best = metric
             self.bad = 0
         return self.lr
