@@ -29,6 +29,11 @@ from ivf_tpu.models import ConvLSTMClassifier, get_model
 from ivf_tpu.models.i3d import I3D
 
 
+_cast_f32 = jax.jit(lambda x: x.astype(jnp.float32))
+# loaders ship uint8 batches (4x fewer host->HBM bytes); this single jitted
+# device-side cast restores the float path for consumers
+
+
 def default_effective_steps(clip_size: int) -> tuple:
     """Quarters of the clip, as the reference drivers configure
     (train_clstm_kth.py:51-55: [7,15,23,31] for 32)."""
@@ -48,6 +53,7 @@ def build_model(cfg: Config, softmax_override: Optional[bool] = None):
             last_relu=m.last_relu,
             last_stride=m.last_stride,
             stride_mod_layers=tuple(m.stride_mod_layers),
+            use_pallas=m.use_pallas,
         )
         if "kth" in name:
             kwargs["final_time_length"] = m.final_temp_time
@@ -56,12 +62,19 @@ def build_model(cfg: Config, softmax_override: Optional[bool] = None):
         eff = tuple(m.effective_steps) or default_effective_steps(
             cfg.data.clip_size
         )
+        ksize = (
+            (m.conv_kernel_size, m.conv_kernel_size_2)
+            if m.conv_kernel_size_2
+            else m.conv_kernel_size
+        )
+        # Keras 'same' with stride 1 / odd kernels equals torch symmetric
+        padding = "valid" if m.padding_clstm == "valid" else "torch"
         return ConvLSTMClassifier(
             head="gap" if "gap" in name else "fc",
             num_classes=m.num_classes,
             nb_lstm_units=m.clstm_hidden,
             lstm_layers=m.clstm_layers,
-            conv_kernel_size=m.conv_kernel_size,
+            conv_kernel_size=ksize,
             conv_stride=m.conv_stride,
             pool_kernel=tuple(m.pool_kernel),
             effective_steps=eff,
@@ -69,6 +82,16 @@ def build_model(cfg: Config, softmax_override: Optional[bool] = None):
             dropout_rate=m.dropout,
             use_entire_seq=m.use_entire_seq,
             add_softmax=softmax,
+            block_order=m.block_order,
+            pooling=m.pooling,
+            recurrent_activation=m.recurrent_activation,
+            # Keras ConvLSTM2D default (TF family only)
+            unit_forget_bias=(m.block_order == "tf"),
+            x_padding=padding,
+            # per-layer BN for the TF family (one BN per block,
+            # clstm.py:49); the torch family keeps its shared-BN quirk
+            shared_bn=(m.block_order != "tf"),
+            use_pallas=m.use_pallas,
         )
     return get_model(m.conv_model, num_classes=m.num_classes)
 
@@ -188,14 +211,31 @@ def train(
         return state, res
 
     max_steps = 5 if cfg.test_run else None
-    scheduler = ReduceLROnPlateau(
-        cfg.optim.lr, factor=cfg.optim.lr_factor, patience=cfg.optim.lr_patience
-    )
+    if cfg.optim.lr_schedule == "patience_halving":
+        from ivf_tpu.train import PatienceHalving
+
+        scheduler = PatienceHalving(
+            cfg.optim.lr,
+            patience=cfg.optim.lr_patience,
+            lr_end=cfg.optim.last_lr,
+        )
+    else:
+        scheduler = ReduceLROnPlateau(
+            cfg.optim.lr,
+            factor=cfg.optim.lr_factor,
+            patience=cfg.optim.lr_patience,
+        )
     plotter = PlotLearning(os.path.join(save_dir, "plots"), cfg.model.num_classes)
+    # One ClipLoader reused across epochs: its internal _epoch counter
+    # advances per __iter__, reshuffling with seed+epoch like torch's
+    # DataLoader does per epoch (a fresh loader each epoch would replay
+    # the same order every time).
+    train_loader = build_loader(cfg, train_dataset, cfg.data.shuffle, mesh)
+    val_loader = build_loader(cfg, val_dataset, False, mesh)
     state, history = fit(
         state,
-        lambda: build_loader(cfg, train_dataset, cfg.data.shuffle, mesh),
-        lambda: build_loader(cfg, val_dataset, False, mesh),
+        lambda: train_loader,
+        lambda: val_loader,
         num_epochs=cfg.optim.num_epochs,
         loss_type=loss_type,
         scheduler=scheduler,
@@ -205,6 +245,7 @@ def train(
         last_lr=cfg.optim.last_lr,
         max_steps_per_epoch=max_steps,
         plotter=plotter,
+        kernel_l2=cfg.model.kernel_l2,
     )
     return state, history
 
@@ -217,9 +258,19 @@ def _clip_hw(cfg: Config):
 
 
 def _load_pretrained(cfg: Config, model, state):
-    """Import a reference torch checkpoint if given a .pth/.pth.tar path,
-    else an orbax checkpoint directory."""
+    """Import a reference torch checkpoint (.pth/.pth.tar), a reference TF
+    bundle (a ``model.ckpt`` Saver prefix with .index/.data files), or an
+    orbax checkpoint directory."""
     path = cfg.model.pretrained_model_path
+    if os.path.exists(path + ".index"):  # TF Saver prefix
+        from ivf_tpu.utils.import_tf import load_tf_checkpoint
+
+        family = "i3d" if "i3d" in cfg.model.conv_model.lower() else "clstm"
+        variables = load_tf_checkpoint(path, family)
+        return state.replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats") or state.batch_stats,
+        )
     if path.endswith((".pth", ".pth.tar", ".pt")):
         from ivf_tpu.utils.import_torch import (
             convlstm_state_dict_to_variables,
@@ -290,9 +341,14 @@ def infer(cfg: Config, state=None, mesh=None, dataset=None, save_npy=True):
     )
     if save_npy:
         save_dir = _save_dir(cfg)
+        # KTH inference reports top-3 (inference_kth.py:10 TOP_X=3) but keeps
+        # the top5 file name (inference_kth.py:178); smth uses real top-5
+        k = 3 if "kth" in cfg.model.conv_model.lower() else 5
         np.save(os.path.join(save_dir, "y_true.npy"), res["y_true"])
         np.save(os.path.join(save_dir, "y_hat.npy"), res["y_hat"])
-        np.save(os.path.join(save_dir, "y_hat_top5.npy"), res["y_hat_top5"])
+        np.save(
+            os.path.join(save_dir, "y_hat_top5.npy"), res["y_hat_top5"][:, :k]
+        )
     return res
 
 
@@ -403,8 +459,16 @@ def find_masks(
             break
         clips, labels, ids = batch if len(batch) == 3 else (*batch, None)
         clips = jnp.asarray(clips)
+        if clips.dtype == jnp.uint8:
+            clips = _cast_f32(clips)
         labels_np = np.asarray(labels)
-        ids = ids if ids is not None else [str(i) for i in range(len(labels_np))]
+        # fallback ids carry the batch index so different batches can never
+        # collide in result keys / viz output dirs
+        ids = (
+            ids
+            if ids is not None
+            else [f"b{bidx}_{i}" for i in range(len(labels_np))]
+        )
 
         # class-of-interest / subset filtering (host side)
         keep = np.ones(len(labels_np), bool)
@@ -426,13 +490,28 @@ def find_masks(
         ids_k = [ids[i] for i in kept]
 
         outputs = batched_scores(clips_k)
-        pred = np.asarray(jnp.argmax(outputs, axis=-1))
+        outputs_np = np.asarray(outputs)
+        if mk.min_score > 0.0:
+            # TF drivers skip clips whose true-class probability is below
+            # the threshold (find_mask_smth.py:364-366) — no 300-step search
+            # is spent on them
+            score_keep = (
+                outputs_np[np.arange(len(kept)), np.asarray(labels_k)]
+                >= mk.min_score
+            )
+            if not score_keep.any():
+                continue
+            sk = np.nonzero(score_keep)[0]
+            kept = kept[sk]
+            clips_k = clips_k[sk]
+            labels_k = jnp.asarray(np.asarray(labels_k)[sk])
+            ids_k = [ids_k[i] for i in sk]
+            outputs_np = outputs_np[sk]
+        pred = np.argmax(outputs_np, axis=-1)
         if mk.grad_cam_type == "guessed":
             targets = jnp.asarray(pred)
         else:
             targets = labels_k
-
-        outputs_np = np.asarray(outputs)
 
         if run_temp_mask:
             if mk.mask_init_type == "central":
@@ -522,6 +601,37 @@ def find_masks(
                         case_tag=ptype + tag,
                     )
 
+        if save_viz and run_temp_mask and "kth" in cfg.model.conv_model.lower():
+            # KTH driver additionally renders the perturbed sequence itself
+            # (FindMasksComparison_I3D_KTH.py:362-366)
+            from ivf_tpu.interpret.perturb import perturb_sequence
+            from ivf_tpu.viz import visualize_results
+
+            for j in range(len(kept)):
+                tag = str(ids_k[j])
+                out_folder = os.path.join(
+                    save_dir,
+                    "cam_saved_images",
+                    str(int(labels_np[kept[j]])),
+                    f"{tag}g_{int(pred[j])}",
+                    "combined",
+                )
+                pert = np.asarray(
+                    perturb_sequence(
+                        clips_k[j],
+                        jnp.asarray(masks_np[j]),
+                        mk.mask_perturb_type,
+                    )
+                )
+                visualize_results(
+                    np.asarray(clips_k[j]),
+                    pert,
+                    masks_np[j],
+                    root_dir=out_folder,
+                    case=tag,
+                    mark_imgs=True,
+                )
+
     with open(
         os.path.join(
             results_path,
@@ -551,6 +661,8 @@ def grad_cam_run(cfg: Config, variables, clips, targets=None):
 
     model = build_model(cfg, softmax_override=True)
     clips = jnp.asarray(clips)
+    if clips.dtype == jnp.uint8:
+        clips = _cast_f32(clips)
     n = clips.shape[0]
     if targets is None:
         targets = [None] * n

@@ -12,7 +12,6 @@ Entry points mirroring the reference's script surface (SURVEY.md §7):
 from __future__ import annotations
 
 import argparse
-import sys
 
 from ivf_tpu.config import Config, add_cli_overrides, apply_cli_overrides
 
@@ -114,8 +113,57 @@ def main(argv=None):
             max_batches=1 if cfg.test_run else None,
         )
     elif args.command == "grad-cam":
-        print("use find-masks --no-temp-mask for a gradcam-only pass")
-        sys.exit(2)
+        import os
+        import pickle
+
+        import numpy as np
+
+        from ivf_tpu.api import (
+            _save_dir,
+            build_dataset,
+            build_loader,
+            grad_cam_run,
+            init_eval_state,
+        )
+
+        cfg = _load_cfg(args)
+        if args.checkpoint:
+            cfg.model.pretrained_model_path = args.checkpoint
+        _, state = init_eval_state(cfg, softmax_override=True)
+        variables = state.variables()
+        dataset = build_dataset(cfg, "validation", get_item_id=True)
+        loader = build_loader(cfg, dataset, False)
+        results = []
+        for bidx, batch in enumerate(loader):
+            if cfg.test_run and bidx >= 1:
+                break
+            clips, labels, ids = (
+                batch if len(batch) == 3 else (*batch, None)
+            )
+            labels = np.asarray(labels)
+            ids = (
+                ids
+                if ids is not None
+                else [f"b{bidx}_{i}" for i in range(len(labels))]
+            )
+            targets = None if cfg.mask.grad_cam_type == "guessed" else labels
+            cams = grad_cam_run(cfg, variables, np.asarray(clips), targets)
+            for j in range(len(labels)):
+                results.append(
+                    {
+                        "true_class": int(labels[j]),
+                        "video_id": ids[j],
+                        "GCHeatMap": cams[j],
+                    }
+                )
+        out = os.path.join(_save_dir(cfg), "results")
+        os.makedirs(out, exist_ok=True)
+        path = os.path.join(
+            out, f"allGradCamResults_{cfg.model_name}_{cfg.mask.class_oi}_.p"
+        )
+        with open(path, "wb") as f:
+            pickle.dump(results, f)
+        print(f"grad-cam: {len(results)} clips -> {path}")
     elif args.command == "make-records":
         _make_records(args)
     elif args.command == "inspect-records":

@@ -68,8 +68,24 @@ class ModelConfig:
     conv_kernel_size: int = 5
     pool_kernel: Tuple[int, int] = (2, 2)
     effective_steps: Tuple[int, ...] = ()
+    # torch family: drop->bn->pool (CLSTM_4); tf family: pool->bn
+    # (video_features_tf/models/clstm.py:21-50)
+    block_order: str = "torch"  # torch | tf
+    pooling: str = "max"  # max | avg
+    # TF flags kernel_size_1/kernel_size_2 allow rectangular ConvLSTM
+    # kernels (KTH uses (3,5), config_train_kth_clstm.py:28-33); None
+    # means square conv_kernel_size
+    conv_kernel_size_2: Optional[int] = None
+    # Keras ConvLSTM2D input-conv padding: torch (symmetric) | valid
+    padding_clstm: str = "torch"
     pretrained_model_path: str = "no_ckpt"
     compute_dtype: str = "float32"  # float32 | bfloat16
+    use_pallas: bool = False  # route eligible ops through Pallas kernels
+    # Keras-ConvLSTM2D cell fidelity knobs for the TF model family
+    # (video_features_tf/models/clstm.py:9-51): hard-sigmoid recurrent
+    # activation and L2 kernel regularization feeding the training loss.
+    recurrent_activation: str = "sigmoid"  # sigmoid | hard_sigmoid
+    kernel_l2: float = 0.0  # L2 regularizer strength on conv kernels
 
 
 @dataclass
@@ -83,6 +99,10 @@ class OptimConfig:
     print_freq: int = 4
     lr_factor: float = 0.5
     lr_patience: int = 2
+    # plateau: torch ReduceLROnPlateau on val loss (train_i3d_smth.py:139-140)
+    # patience_halving: the TF half's manual val-acc patience halving with an
+    #   lr >= 2*last_lr floor (train_kth.py:294-312)
+    lr_schedule: str = "plateau"  # plateau | patience_halving
 
 
 @dataclass
@@ -97,7 +117,13 @@ class MaskConfig:
     class_oi: Optional[int] = None  # class-of-interest filter
     subset_file: Optional[str] = None  # CSV of clip ids to process
     top_layer: str = "Mixed_5c"
-    normalization_mode: str = "sequence"  # sequence | frame
+    # Both reference FindMasks drivers hardcode normalizePerFrame=True
+    # (FindMasksComparison_I3D_smth.py:266), so per-frame is the default.
+    normalization_mode: str = "frame"  # sequence | frame
+    # TF mask drivers skip clips whose class probability is below 0.1
+    # (find_mask_smth.py:364-366); the torch driver has no such filter, so
+    # the default keeps everything.
+    min_score: float = 0.0
     eta: float = 1e-5
     early_stop: bool = False  # reference's early stop is dead code; see
     # interpret/mask_opt.py
@@ -173,21 +199,54 @@ class Config:
             "weight_decay": ("optim", "weight_decay"),
             "num_epochs": ("optim", "num_epochs"),
             "print_freq": ("optim", "print_freq"),
+            # optim (rebuild-native extensions)
+            "lr_schedule": ("optim", "lr_schedule"),
+            "lr_factor": ("optim", "lr_factor"),
+            "lr_patience": ("optim", "lr_patience"),
             # mask
             "maskPerturbType": ("mask", "mask_perturb_type"),
+            "min_score": ("mask", "min_score"),
+            "lam1": ("mask", "lam1"),
+            "lam2": ("mask", "lam2"),
+            "optIter": ("mask", "opt_iter"),
+            "maskInitType": ("mask", "mask_init_type"),
+            "gradCamType": ("mask", "grad_cam_type"),
+            # model (ConvLSTM/TF-family extensions)
+            "block_order": ("model", "block_order"),
+            "pooling": ("model", "pooling"),
+            "recurrent_activation": ("model", "recurrent_activation"),
+            "kernel_l2": ("model", "kernel_l2"),
+            "use_pallas": ("model", "use_pallas"),
+            "conv_kernel_size": ("model", "conv_kernel_size"),
+            "kernel_size_1": ("model", "conv_kernel_size"),
+            "kernel_size_2": ("model", "conv_kernel_size_2"),
+            "padding_clstm": ("model", "padding_clstm"),
+            "use_entire_seq": ("model", "use_entire_seq"),
+            "compute_dtype": ("model", "compute_dtype"),
+            # data (records mode)
+            "records_folder": ("data", "records_folder"),
+            "subjects_clips_csv": ("data", "subjects_clips_csv"),
+        }
+        tuple_keys = {
+            "effective_steps": ("model", "effective_steps"),
+            "pool_kernel": ("model", "pool_kernel"),
+            "train_subjects": ("data", "train_subjects"),
+            "val_subjects": ("data", "val_subjects"),
+            "record_paths": ("data", "record_paths"),
+            "record_paths_train": ("data", "record_paths_train"),
+            "record_paths_val": ("data", "record_paths_val"),
         }
         for k, v in d.items():
             if k in top:
                 setattr(cfg, top[k], v)
             elif k in key_map:
                 sec, attr = key_map[k]
-                if k == "shuffle":
-                    v = bool(v)
-                if k == "soft_max":
-                    v = bool(v)
-                if k == "batch_norm":
-                    v = bool(v)
+                if isinstance(getattr(sections[sec], attr), bool):
+                    v = bool(v)  # reference configs use 0/1 ints
                 setattr(sections[sec], attr, v)
+            elif k in tuple_keys:
+                sec, attr = tuple_keys[k]
+                setattr(sections[sec], attr, tuple(v))
             elif k == "stride_mod_layers":
                 # reference stores '' or 'A,B' strings
                 if isinstance(v, str):
@@ -261,6 +320,11 @@ _OVERRIDES = [
     ("--num_epochs", "-ne", "optim.num_epochs", int),
     ("--num_classes", "-nc", "model.num_classes", int),
     ("--clip_size", "-cs", "data.clip_size", int),
+    ("--lr_schedule", "-lrs", "optim.lr_schedule", str),
+    ("--min_score", "-msc", "mask.min_score", float),
+    ("--use_pallas", "-pls", "model.use_pallas", int),
+    ("--recurrent_activation", "-ract", "model.recurrent_activation", str),
+    ("--kernel_l2", "-kl2", "model.kernel_l2", float),
 ]
 
 

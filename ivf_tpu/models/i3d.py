@@ -84,6 +84,9 @@ class I3D(nn.Module):
     # False | 'auto' (<=14^2 blocks only). Both modes measured slightly
     # net-negative at batch 128 (the blocks are FLOP-relevant there); may
     # win at small batch where op overhead dominates
+    use_pallas: bool = False  # 1x1x1 convs via the Pallas fused
+    # matmul+bias+ReLU kernel (ops/pallas/pointwise_conv.py); measured vs
+    # the XLA path in PERF.md — off by default where XLA wins
 
     def setup(self):
         if self.final_endpoint not in VALID_ENDPOINTS:
@@ -105,6 +108,7 @@ class I3D(nn.Module):
                         activation=act,
                         s2d=self.stem_s2d,
                         fold_bn=self.fold_bn,
+                        use_pallas=self.use_pallas,
                     ),
                 )
             elif kind == "mixed":
@@ -122,6 +126,7 @@ class I3D(nn.Module):
                         fold_bn=self.fold_bn,
                         fuse_1x1=self.fuse_1x1,
                         fuse_3x3=self.fuse_3x3,
+                        use_pallas=self.use_pallas,
                     ),
                 )
         if self.last_relu == "leaky":
@@ -136,6 +141,7 @@ class I3D(nn.Module):
             use_batch_norm=False,
             use_bias=True,
             activation=act,
+            use_pallas=self.use_pallas,
         )
         self.dropout = nn.Dropout(self.dropout_rate)
 

@@ -81,6 +81,8 @@ class Unit3D(nn.Module):
     fold_bn: bool = True  # at inference, fold BN into the conv kernel/bias
     # (one conv HLO instead of conv + 5-6 BN elementwise HLOs; identical
     # math up to float reassociation)
+    use_pallas: bool = False  # 1x1x1 stride-1 convs via the Pallas MXU
+    # matmul kernel with bias+ReLU fused in the epilogue (pointwise_conv.py)
 
     @nn.compact
     def __call__(
@@ -108,6 +110,28 @@ class Unit3D(nn.Module):
             # for cross-branch fusion: caller runs the conv itself
             assert folding, "return_folded requires inference-mode BN folding"
             return kernel, bias
+        if (
+            self.use_pallas
+            and tuple(self.kernel_shape) == (1, 1, 1)
+            and tuple(self.stride) == (1, 1, 1)
+        ):
+            from ivf_tpu.ops.pallas.pointwise_conv import pallas_pointwise_conv
+
+            relu_fused = (
+                self.activation is jax.nn.relu
+                and (folding or not self.use_batch_norm)
+            )
+            x = pallas_pointwise_conv(
+                x.astype(kernel.dtype),
+                kernel.reshape(cin, self.out_channels),
+                bias,
+                relu=relu_fused,
+            )
+            if self.use_batch_norm and not folding:
+                x = bn(x, train=train)
+            if self.activation is not None and not relu_fused:
+                x = self.activation(x)
+            return x
         if (
             self.s2d
             and tuple(self.kernel_shape) == (7, 7, 7)
@@ -143,6 +167,7 @@ class InceptionModule(nn.Module):
     # as one block-diagonal conv over the contiguous [b1in; b2in] slice —
     # ~1.4x the FLOPs for half the ops. Off by default: measured net-negative
     # for the smth config (the big 28^2 layers are FLOP-bound)
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -151,10 +176,14 @@ class InceptionModule(nn.Module):
         oc = self.out_channels
         act = self.activation
         fb = self.fold_bn
+        up = self.use_pallas
         mods = {
-            "b0": Unit3D(oc[0], (1, 1, 1), activation=act, fold_bn=fb, name="b0"),
-            "b1a": Unit3D(oc[1], (1, 1, 1), activation=act, fold_bn=fb, name="b1a"),
-            "b2a": Unit3D(oc[3], (1, 1, 1), activation=act, fold_bn=fb, name="b2a"),
+            "b0": Unit3D(oc[0], (1, 1, 1), activation=act, fold_bn=fb,
+                         use_pallas=up, name="b0"),
+            "b1a": Unit3D(oc[1], (1, 1, 1), activation=act, fold_bn=fb,
+                          use_pallas=up, name="b1a"),
+            "b2a": Unit3D(oc[3], (1, 1, 1), activation=act, fold_bn=fb,
+                          use_pallas=up, name="b2a"),
         }
         b1b = Unit3D(oc[2], (3, 3, 3), activation=act, fold_bn=fb, name="b1b")
         b2b = Unit3D(oc[4], (3, 3, 3), activation=act, fold_bn=fb, name="b2b")
@@ -163,7 +192,19 @@ class InceptionModule(nn.Module):
             parts = [mods[k](x, return_folded=True) for k in ("b0", "b1a", "b2a")]
             kcat = jnp.concatenate([k for k, _ in parts], axis=-1)
             bcat = jnp.concatenate([b for _, b in parts])
-            y = act(conv3d_same(x, kcat, (1, 1, 1), bcat))
+            if up:
+                from ivf_tpu.ops.pallas.pointwise_conv import (
+                    pallas_pointwise_conv,
+                )
+
+                y = pallas_pointwise_conv(
+                    x.astype(kcat.dtype),
+                    kcat.reshape(x.shape[-1], -1),
+                    bcat,
+                    relu=True,
+                )
+            else:
+                y = act(conv3d_same(x, kcat, (1, 1, 1), bcat))
             b0 = y[..., : oc[0]]
             b1 = y[..., oc[0] : oc[0] + oc[1]]
             b2 = y[..., oc[0] + oc[1] :]
@@ -197,5 +238,8 @@ class InceptionModule(nn.Module):
             b1 = b1b(b1, train)
             b2 = b2b(b2, train)
         b3 = max_pool3d_same(x, (3, 3, 3), (1, 1, 1))
-        b3 = Unit3D(oc[5], (1, 1, 1), activation=act, fold_bn=fb, name="b3b")(b3, train)
+        b3 = Unit3D(
+            oc[5], (1, 1, 1), activation=act, fold_bn=fb, use_pallas=up,
+            name="b3b",
+        )(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)

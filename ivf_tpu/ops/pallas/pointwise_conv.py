@@ -44,10 +44,16 @@ def pallas_pointwise_conv(
     w: jax.Array,
     bias: Optional[jax.Array] = None,
     relu: bool = True,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jax.Array:
     """x: (..., Cin); w: (Cin, Cout); bias: (Cout,) or None.
-    Returns (..., Cout) with the same leading shape."""
+    Returns (..., Cout) with the same leading shape.
+
+    ``interpret=None`` auto-enables the Pallas interpreter off-TPU so the
+    same model code runs under the CPU test mesh."""
+    if interpret is None:
+        # 'axon' is the tunneled TPU backend in this environment
+        interpret = jax.default_backend() not in ("tpu", "axon")
     lead = x.shape[:-1]
     cin, cout = w.shape
     n = 1

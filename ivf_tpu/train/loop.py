@@ -40,11 +40,30 @@ def _compute_loss(logits: jax.Array, labels: jax.Array, loss_type: str):
     raise ValueError(f"unknown loss_type {loss_type}")
 
 
-def make_train_step(loss_type: str = "cross_entropy", donate: bool = True):
+def _kernel_l2_penalty(params, coeff: float) -> jax.Array:
+    """lambda * sum(w^2) over ConvLSTM input kernels ('wx') — the Keras
+    ``kernel_regularizer=l2(lambda)`` term the TF blocks feed into the loss
+    (video_features_tf/models/clstm.py:21, configs kernel_regularizer=0.01).
+    Keras l2 has no 1/2 factor and applies to the input kernel only."""
+    total = 0.0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        if getattr(path[-1], "key", None) == "wx":
+            total = total + jnp.sum(jnp.square(leaf))
+    return coeff * total
+
+
+def make_train_step(
+    loss_type: str = "cross_entropy",
+    donate: bool = True,
+    kernel_l2: float = 0.0,
+):
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(
         state: TrainState, clips: jax.Array, labels: jax.Array, rng: jax.Array
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        # loaders ship uint8 over PCIe (4x fewer bytes); cast on device
+        if clips.dtype == jnp.uint8:
+            clips = clips.astype(jnp.float32)
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
@@ -66,6 +85,8 @@ def make_train_step(loss_type: str = "cross_entropy", donate: bool = True):
                 )
                 updated = {}
             loss = _compute_loss(logits, labels, loss_type)
+            if kernel_l2:
+                loss = loss + _kernel_l2_penalty(params, kernel_l2)
             return loss, (logits, updated.get("batch_stats"))
 
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
@@ -83,6 +104,8 @@ def make_eval_step(loss_type: str = "cross_entropy"):
     def eval_step(
         state: TrainState, clips: jax.Array, labels: jax.Array
     ) -> Dict[str, jax.Array]:
+        if clips.dtype == jnp.uint8:
+            clips = clips.astype(jnp.float32)
         logits = state.apply_fn(state.variables(), clips, train=False)
         loss = _compute_loss(logits, labels, loss_type)
         top1, top5 = topk_accuracy(logits, labels, (1, 5))
@@ -171,6 +194,7 @@ def fit(
     last_lr: float = 0.0,
     max_steps_per_epoch: Optional[int] = None,
     plotter=None,
+    kernel_l2: float = 0.0,
 ) -> Tuple[TrainState, list]:
     """Epoch orchestration mirroring train_i3d_smth.main (33-189): train,
     validate, plateau-LR step, plot, checkpoint best-on-val-loss; stops
@@ -178,7 +202,7 @@ def fit(
     from ivf_tpu.train.optim import get_learning_rate, set_learning_rate
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    train_step = make_train_step(loss_type)
+    train_step = make_train_step(loss_type, kernel_l2=kernel_l2)
     eval_step = make_eval_step(loss_type)
     history = []
     best_loss = float("inf")
@@ -199,7 +223,11 @@ def fit(
             state, val_loader_fn(), eval_step, max_steps_per_epoch
         )
         if scheduler is not None:
-            new_lr = scheduler.step(val_metrics["loss"])
+            if getattr(scheduler, "monitor", "loss") == "accuracy":
+                monitored = val_metrics["top1"] / 100.0
+            else:
+                monitored = val_metrics["loss"]
+            new_lr = scheduler.step(monitored)
             state = state.replace(
                 opt_state=set_learning_rate(state.opt_state, new_lr)
             )

@@ -1,0 +1,98 @@
+"""Round-2 perf sweep for the mask-search hot loop on the real TPU chip.
+
+Each variant runs the vmapped find_mask scan (n_steps inside one jit) and
+reports mask-steps/s/chip. Axon timing rules apply: salt the inputs, fetch
+a scalar, take the min of two timed runs after a warm run.
+
+Usage: python scripts/bench_sweep.py [variant ...]
+"""
+
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+
+def build(batch, n_steps, *, dtype="bfloat16", remat=False, fuse_3x3=False,
+          clip_bf16=False, t=16, hw=224):
+    from ivf_tpu.interpret.mask_opt import find_mask
+    from ivf_tpu.models import i3d_smth
+
+    model = i3d_smth(
+        num_classes=174, dropout_rate=0.0, softmax=True,
+        stem_s2d=True, fold_bn=True, fuse_1x1=True,
+        fuse_3x3=fuse_3x3, remat=remat,
+    )
+    key = jax.random.PRNGKey(0)
+    clips = jax.random.normal(key, (batch, t, hw, hw, 3), jnp.float32)
+    variables = jax.jit(model.init)(key, clips[:1])
+    if dtype == "bfloat16":
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            variables,
+        )
+    if clip_bf16:
+        clips = clips.astype(jnp.bfloat16)
+    score_fn = lambda clip: model.apply(variables, clip[None], train=False)[0].astype(jnp.float32)
+    targets = jnp.arange(batch, dtype=jnp.int32) % 174
+    inits = jnp.tile(jnp.where(jnp.arange(t) % 2 == 0, 1.0, -1.0)[None], (batch, 1))
+    searcher = jax.vmap(partial(find_mask, score_fn, n_steps=n_steps))
+
+    @jax.jit
+    def run(clips, targets, inits, salt):
+        res = searcher(clips + salt * jnp.asarray(1e-6, clips.dtype), targets, inits)
+        return jnp.sum(res.mask) + jnp.sum(res.loss.astype(jnp.float32))
+
+    return run, (clips, targets, inits)
+
+
+def timed(run, args, salt):
+    t0 = time.time()
+    out = float(run(*args, jnp.float32(salt)))
+    assert np.isfinite(out), out
+    return time.time() - t0
+
+
+VARIANTS = {
+    "base128": dict(batch=128),
+    "remat128": dict(batch=128, remat=True),
+    "remat192": dict(batch=192, remat=True),
+    "remat256": dict(batch=256, remat=True),
+    "fuse3x3_128": dict(batch=128, fuse_3x3=True),
+    "clipbf16_128": dict(batch=128, clip_bf16=True),
+    "base160": dict(batch=160),
+    "clipbf16_remat256": dict(batch=256, remat=True, clip_bf16=True),
+    "clipbf16_192": dict(batch=192, clip_bf16=True),
+}
+
+
+def main():
+    names = sys.argv[1:] or list(VARIANTS)
+    n_steps = 30
+    for name in names:
+        kw = dict(VARIANTS[name])
+        batch = kw.pop("batch")
+        try:
+            t_build = time.time()
+            run, args = build(batch, n_steps, **kw)
+            dt0 = timed(run, args, 0.0)  # compile + warm
+            dt = min(timed(run, args, 1.0), timed(run, args, 2.0))
+            sps = batch * n_steps / dt
+            print(
+                f"{name}: {sps:.0f} mask-steps/s  "
+                f"(batch {batch}, {dt:.2f}s/run, compile+warm {dt0:.0f}s, "
+                f"build {time.time()-t_build-dt0-2*dt:.0f}s)",
+                flush=True,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""Round-2 surface tests: shipped config presets, TF-family cell fidelity
+knobs, the scan recurrence, schedule selection, and driver-parity details
+(min-score skip, unique fallback ids, L2 kernel penalty)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ivf_tpu.api import build_model
+from ivf_tpu.config import Config
+from ivf_tpu.models import ConvLSTMClassifier
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PRESETS = [
+    "configs/config_i3d_smth.py",
+    "configs/config_i3d_kth.py",
+    "configs/config_clstm_kth.py",
+    "configs/config_clstm_kth_records.py",
+]
+
+
+@pytest.mark.parametrize("preset", PRESETS)
+def test_preset_loads_and_builds(preset):
+    cfg = Config.load(os.path.join(REPO, preset))
+    model = build_model(cfg)
+    assert model is not None
+    if "i3d_smth" in preset:
+        assert cfg.model.num_classes == 174 and cfg.data.clip_size == 16
+        assert cfg.mask.opt_iter == 300 and cfg.mask.lam1 == 0.01
+    if "kth" in preset:
+        assert cfg.model.num_classes == 6 and cfg.data.clip_size == 32
+    if preset.endswith("records.py"):
+        assert cfg.data.input_mode == "records"
+        assert cfg.optim.lr_schedule == "patience_halving"
+        assert cfg.model.recurrent_activation == "hard_sigmoid"
+        assert cfg.model.block_order == "tf"
+        assert cfg.model.kernel_l2 == 0.01
+        assert cfg.mask.min_score == 0.1
+        assert cfg.model.conv_kernel_size == 3
+        assert cfg.model.conv_kernel_size_2 == 5
+        assert cfg.model.padding_clstm == "valid"
+        assert cfg.data.train_subjects == tuple(range(1, 17))
+
+
+def test_tf_family_model_knobs():
+    """build_model wires Keras fidelity knobs for block_order='tf'."""
+    cfg = Config.load(os.path.join(REPO, "configs/config_clstm_kth_records.py"))
+    m = build_model(cfg)
+    assert m.recurrent_activation == "hard_sigmoid"
+    assert m.unit_forget_bias is True
+    assert m.x_padding == "valid"
+    assert m.shared_bn is False  # per-block BN for the TF family
+    assert m.conv_kernel_size == (3, 5)
+
+
+def test_clstm_preset_forward():
+    cfg = Config.load(os.path.join(REPO, "configs/config_clstm_kth.py"))
+    m = build_model(cfg)
+    x = jnp.zeros((1, 8, 24, 32, 3))
+    cfg2 = cfg  # tiny clip: effective steps must fit
+    m = ConvLSTMClassifier(
+        num_classes=cfg2.model.num_classes,
+        nb_lstm_units=cfg2.model.clstm_hidden,
+        lstm_layers=cfg2.model.clstm_layers,
+        conv_stride=cfg2.model.conv_stride,
+        effective_steps=(7,),
+    )
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x, train=False).shape == (1, 6)
+
+
+# ---------------------------------------------------------------------------
+# scan recurrence == unrolled recurrence
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ra", ["sigmoid", "hard_sigmoid"])
+def test_convlstm_scan_matches_unrolled(ra):
+    kw = dict(
+        num_classes=5,
+        nb_lstm_units=4,
+        lstm_layers=2,
+        conv_kernel_size=3,
+        effective_steps=(3, 7),
+        batch_norm=True,
+        dropout_rate=0.0,
+        recurrent_activation=ra,
+    )
+    m_scan = ConvLSTMClassifier(use_scan=True, **kw)
+    m_unr = ConvLSTMClassifier(use_scan=False, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 24, 24, 3))
+    v = m_scan.init(jax.random.PRNGKey(1), x)
+    out_s = m_scan.apply(v, x, train=False)
+    out_u = m_unr.apply(v, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out_u), rtol=1e-5, atol=1e-6
+    )
+    # train mode: identical logits AND identical running-stat updates
+    rngs = {"dropout": jax.random.PRNGKey(2)}
+    out_s2, upd_s = m_scan.apply(
+        v, x, train=True, mutable=["batch_stats"], rngs=rngs
+    )
+    out_u2, upd_u = m_unr.apply(
+        v, x, train=True, mutable=["batch_stats"], rngs=rngs
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s2), np.asarray(out_u2), rtol=1e-5, atol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(upd_s), jax.tree_util.tree_leaves(upd_u)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_convlstm_scan_grad_and_remat():
+    kw = dict(
+        num_classes=3,
+        nb_lstm_units=4,
+        lstm_layers=1,
+        conv_kernel_size=3,
+        effective_steps=(5,),
+        batch_norm=False,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 16, 16, 3))
+    m = ConvLSTMClassifier(use_scan=True, **kw)
+    m_r = ConvLSTMClassifier(use_scan=True, remat=True, **kw)
+    v = m.init(jax.random.PRNGKey(1), x)
+    loss = lambda mdl: lambda p: jnp.sum(mdl.apply({"params": p}, x) ** 2)
+    g = jax.grad(loss(m))(v["params"])
+    g_r = jax.grad(loss(m_r))(v["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_kernel_l2_penalty():
+    from ivf_tpu.train.loop import _kernel_l2_penalty
+
+    params = {
+        "clstm": {
+            "cells_0": {
+                "wx": jnp.ones((2, 2, 3, 8)),
+                "wh": jnp.ones((2, 2, 2, 8)),
+                "bx": jnp.ones((8,)),
+            }
+        },
+        "end_fc": {"kernel": jnp.ones((4, 2))},
+    }
+    # only wx enters: 2*2*3*8 = 96; coeff 0.01 -> 0.96 (Keras l2: no 1/2)
+    np.testing.assert_allclose(
+        float(_kernel_l2_penalty(params, 0.01)), 0.96, rtol=1e-6
+    )
+
+
+def test_i3d_use_pallas_matches_xla():
+    """use_pallas routes every 1x1x1 conv (branch entries, fused trio,
+    b3b, logits head) through the Pallas kernel — identical output
+    (interpret mode off-TPU)."""
+    from ivf_tpu.models import i3d_smth
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 32, 32, 3))
+    m_ref = i3d_smth(num_classes=7, dropout_rate=0.0, pool_shape=(1, 1, 1))
+    m_pl = i3d_smth(
+        num_classes=7, dropout_rate=0.0, pool_shape=(1, 1, 1), use_pallas=True
+    )
+    v = m_ref.init(jax.random.PRNGKey(1), x)
+    ref = m_ref.apply(v, x, train=False)
+    out = m_pl.apply(v, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_config_use_pallas_plumbs_to_models():
+    cfg = Config()
+    cfg.model.use_pallas = True
+    assert build_model(cfg).use_pallas is True
+    cfg.model.conv_model = "clstm_kth"
+    assert build_model(cfg).use_pallas is True
+
+
+def test_patience_halving_reference_exact():
+    """train_kth.py:294-312: <1e-4 gain counts as no improvement; the
+    patience counter resets even when the lr floor blocks halving."""
+    from ivf_tpu.train import PatienceHalving
+
+    s = PatienceHalving(lr=0.1, patience=2, lr_end=0.04)
+    assert s.step(0.5) == 0.1  # improvement
+    assert s.step(0.50005) == 0.1  # gain < 1e-4 -> bad 1
+    assert s.step(0.50005) == 0.05  # bad 2 -> halve
+    assert s.step(0.50005) == 0.05  # bad 1 (counter reset after halving)
+    # 0.05 < 2*lr_end=0.08 -> halving blocked, but counter still resets
+    assert s.step(0.50005) == 0.05
+    assert s.step(0.50005) == 0.05
+    assert s.monitor == "accuracy"

@@ -108,7 +108,7 @@ def test_frame_dir_dataset_and_loader(tmp_path):
     ds = FrameDirDataset(str(tmp_path), clip_size=4, get_item_id=True)
     assert len(ds) == 4
     clip, label, cid = ds[0]
-    assert clip.shape == (4, 16, 16, 3) and clip.dtype == np.float32
+    assert clip.shape == (4, 16, 16, 3) and clip.dtype == np.uint8
     assert label in (0, 1) and cid.startswith("clip")
 
     loader = ClipLoader(ds, batch_size=2, shuffle=True, num_workers=2, to_device=False)
@@ -170,7 +170,7 @@ def test_native_decode_matches_pil(tmp_path):
     np.testing.assert_array_equal(nb[0], pb[0])
     np.testing.assert_array_equal(nb[1], pb[1])
     assert nb[2] == pb[2]
-    assert nb[0].dtype == np.float32
+    assert nb[0].dtype == np.uint8  # uint8 transfer: 4x fewer host->HBM bytes
 
 
 def test_native_decode_records_path(tmp_path):
