@@ -87,6 +87,8 @@ class I3D(nn.Module):
     use_pallas: bool = False  # 1x1x1 convs via the Pallas fused
     # matmul+bias+ReLU kernel (ops/pallas/pointwise_conv.py); measured vs
     # the XLA path in PERF.md — off by default where XLA wins
+    pallas_pool: bool = False  # Inception branch-3 pools via the Pallas
+    # maxpool fwd/bwd kernels (see models/layers.py + PERF.md)
 
     def setup(self):
         if self.final_endpoint not in VALID_ENDPOINTS:
@@ -127,6 +129,7 @@ class I3D(nn.Module):
                         fuse_1x1=self.fuse_1x1,
                         fuse_3x3=self.fuse_3x3,
                         use_pallas=self.use_pallas,
+                        pallas_pool=self.pallas_pool,
                     ),
                 )
         if self.last_relu == "leaky":

@@ -168,6 +168,10 @@ class InceptionModule(nn.Module):
     # ~1.4x the FLOPs for half the ops. Off by default: measured net-negative
     # for the smth config (the big 28^2 layers are FLOP-bound)
     use_pallas: bool = False
+    pallas_pool: bool = False  # branch-3 pool via the Pallas fwd/bwd kernel
+    # pair (ops/pallas/maxpool3d.py) — bypasses XLA's select_and_scatter
+    # backward; gradient ties route to all maxima instead of one (see the
+    # kernel docstring); bit-identical forward
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -237,7 +241,12 @@ class InceptionModule(nn.Module):
         else:
             b1 = b1b(b1, train)
             b2 = b2b(b2, train)
-        b3 = max_pool3d_same(x, (3, 3, 3), (1, 1, 1))
+        if self.pallas_pool:
+            from ivf_tpu.ops.pallas.maxpool3d import pallas_maxpool3d_s1
+
+            b3 = pallas_maxpool3d_s1(x)
+        else:
+            b3 = max_pool3d_same(x, (3, 3, 3), (1, 1, 1))
         b3 = Unit3D(
             oc[5], (1, 1, 1), activation=act, fold_bn=fb, use_pallas=up,
             name="b3b",

@@ -20,7 +20,8 @@ sys.path.insert(0, "/root/repo")
 
 
 def build(batch, n_steps, *, dtype="bfloat16", remat=False, fuse_3x3=False,
-          clip_bf16=False, t=16, hw=224):
+          clip_bf16=False, use_pallas=False, pallas_pool=False,
+          ckpt_score=False, t=16, hw=224):
     from ivf_tpu.interpret.mask_opt import find_mask
     from ivf_tpu.models import i3d_smth
 
@@ -28,6 +29,7 @@ def build(batch, n_steps, *, dtype="bfloat16", remat=False, fuse_3x3=False,
         num_classes=174, dropout_rate=0.0, softmax=True,
         stem_s2d=True, fold_bn=True, fuse_1x1=True,
         fuse_3x3=fuse_3x3, remat=remat,
+        use_pallas=use_pallas, pallas_pool=pallas_pool,
     )
     key = jax.random.PRNGKey(0)
     clips = jax.random.normal(key, (batch, t, hw, hw, 3), jnp.float32)
@@ -40,6 +42,10 @@ def build(batch, n_steps, *, dtype="bfloat16", remat=False, fuse_3x3=False,
     if clip_bf16:
         clips = clips.astype(jnp.bfloat16)
     score_fn = lambda clip: model.apply(variables, clip[None], train=False)[0].astype(jnp.float32)
+    if ckpt_score:
+        # full-recompute checkpointing: backward re-runs the forward instead
+        # of loading residuals -> activation memory ~O(1), bigger batches fit
+        score_fn = jax.checkpoint(score_fn)
     targets = jnp.arange(batch, dtype=jnp.int32) % 174
     inits = jnp.tile(jnp.where(jnp.arange(t) % 2 == 0, 1.0, -1.0)[None], (batch, 1))
     searcher = jax.vmap(partial(find_mask, score_fn, n_steps=n_steps))
@@ -60,6 +66,11 @@ def timed(run, args, salt):
 
 
 VARIANTS = {
+    "base32": dict(batch=32),
+    "base64": dict(batch=64),
+    "base96": dict(batch=96),
+    "base128b": dict(batch=128),
+    "base144": dict(batch=144),
     "base128": dict(batch=128),
     "remat128": dict(batch=128, remat=True),
     "remat192": dict(batch=192, remat=True),
@@ -69,6 +80,13 @@ VARIANTS = {
     "base160": dict(batch=160),
     "clipbf16_remat256": dict(batch=256, remat=True, clip_bf16=True),
     "clipbf16_192": dict(batch=192, clip_bf16=True),
+    "pallas1x1_128": dict(batch=128, use_pallas=True),
+    "pallaspool_128": dict(batch=128, pallas_pool=True),
+    "pallasboth_128": dict(batch=128, use_pallas=True, pallas_pool=True),
+    "ckpt128": dict(batch=128, ckpt_score=True),
+    "ckpt192": dict(batch=192, ckpt_score=True),
+    "ckpt256": dict(batch=256, ckpt_score=True),
+    "ckpt384": dict(batch=384, ckpt_score=True),
 }
 
 

@@ -201,6 +201,65 @@ def test_pallas_pointwise_conv_matches_jnp():
     np.testing.assert_allclose(np.asarray(out2), ref2, rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_maxpool3d_matches_xla():
+    """Pallas 3x3x3 stride-1 pool: forward bit-exact vs reduce_window;
+    backward exact on tie-free input (distinct values route gradients to
+    unique argmaxes, so both formulations agree)."""
+    import jax
+    import jax.numpy as jnp
+    from ivf_tpu.ops.conv import max_pool3d_same
+    from ivf_tpu.ops.pallas.maxpool3d import pallas_maxpool3d_s1
+
+    rng = np.random.RandomState(0)
+    x = (
+        jnp.asarray(
+            rng.permutation(2 * 4 * 9 * 10 * 130)
+            .reshape(2, 4, 9, 10, 130)
+            .astype(np.float32)
+        )
+        * 1e-3
+    )
+    ref = lambda a: max_pool3d_same(a, (3, 3, 3), (1, 1, 1))
+    np.testing.assert_array_equal(
+        np.asarray(ref(x)), np.asarray(pallas_maxpool3d_s1(x))
+    )
+    g = jnp.asarray(rng.randn(*x.shape).astype(np.float32))
+    _, vjp_ref = jax.vjp(ref, x)
+    _, vjp_pl = jax.vjp(pallas_maxpool3d_s1, x)
+    np.testing.assert_allclose(
+        np.asarray(vjp_ref(g)[0]),
+        np.asarray(vjp_pl(g)[0]),
+        rtol=1e-5,
+        atol=1e-5,  # float accumulation order differs
+    )
+    # bf16 path (f32-upcast equality): forward bit-exact on positive input
+    xb = (x + 1.0).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(ref(xb)), np.asarray(pallas_maxpool3d_s1(xb))
+    )
+
+
+def test_i3d_pallas_pool_wiring():
+    """pallas_pool routes the Inception branch-3 pools through the kernel
+    with unchanged output (interpret mode off-TPU)."""
+    import jax
+    import jax.numpy as jnp
+    from ivf_tpu.models import i3d_smth
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 32, 32, 3))
+    m_ref = i3d_smth(num_classes=5, dropout_rate=0.0, pool_shape=(1, 1, 1))
+    m_pl = i3d_smth(
+        num_classes=5, dropout_rate=0.0, pool_shape=(1, 1, 1), pallas_pool=True
+    )
+    v = m_ref.init(jax.random.PRNGKey(1), x)
+    np.testing.assert_allclose(
+        np.asarray(m_pl.apply(v, x, train=False)),
+        np.asarray(m_ref.apply(v, x, train=False)),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
 def test_torch_batchnorm_train_semantics(reference_pt_path):
     """TorchBatchNorm train step == torch BatchNorm3d: biased var for
     normalization, unbiased var + momentum for running stats."""
