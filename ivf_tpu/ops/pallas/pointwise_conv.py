@@ -38,7 +38,41 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-@partial(jax.jit, static_argnames=("relu", "interpret"))
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pw_conv(x: jax.Array, w: jax.Array, bias: jax.Array, relu: bool):
+    return _pw_impl(x, w, bias, relu)
+
+
+def _pw_fwd(x, w, bias, relu):
+    y = _pw_impl(x, w, bias, relu)
+    return y, (x, w, y if relu else None)
+
+
+def _pw_bwd(relu, res, g):
+    """VJP: m = g * (y > 0); dx = m @ w.T (via the same Pallas kernel);
+    dw = x.T @ m; db = sum(m). Model params are usually closed-over
+    constants (the mask search), so dw/db get dead-code-eliminated."""
+    x, w, y = res
+    m = jnp.where(y > 0, g, 0) if relu else g
+    dx = _pw_impl(m, w.T, None, False)
+    cin, cout = w.shape
+    n = 1
+    for d in x.shape[:-1]:
+        n *= d
+    dw = jnp.einsum(
+        "nc,nd->cd",
+        x.reshape(n, cin).astype(jnp.float32),
+        m.reshape(n, cout).astype(jnp.float32),
+    ).astype(w.dtype)
+    db = jnp.sum(m.reshape(n, cout).astype(jnp.float32), axis=0).astype(
+        m.dtype
+    )
+    return dx, dw, db
+
+
+_pw_conv.defvjp(_pw_fwd, _pw_bwd)
+
+
 def pallas_pointwise_conv(
     x: jax.Array,
     w: jax.Array,
@@ -47,13 +81,23 @@ def pallas_pointwise_conv(
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """x: (..., Cin); w: (Cin, Cout); bias: (Cout,) or None.
-    Returns (..., Cout) with the same leading shape.
+    Returns (..., Cout) with the same leading shape. Differentiable via a
+    custom VJP (the dx path reuses the kernel with w.T).
 
-    ``interpret=None`` auto-enables the Pallas interpreter off-TPU so the
-    same model code runs under the CPU test mesh."""
-    if interpret is None:
-        # 'axon' is the tunneled TPU backend in this environment
-        interpret = jax.default_backend() not in ("tpu", "axon")
+    ``interpret`` is accepted for test compatibility; the kernel decides
+    automatically (Pallas interpreter off-TPU)."""
+    b = bias if bias is not None else jnp.zeros((w.shape[1],), x.dtype)
+    return _pw_conv(x, w, b, relu)
+
+
+@partial(jax.jit, static_argnames=("relu",))
+def _pw_impl(
+    x: jax.Array,
+    w: jax.Array,
+    bias: Optional[jax.Array],
+    relu: bool,
+) -> jax.Array:
+    interpret = jax.default_backend() not in ("tpu", "axon")
     lead = x.shape[:-1]
     cin, cout = w.shape
     n = 1

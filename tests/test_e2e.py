@@ -117,6 +117,82 @@ def test_e2e_find_masks_with_gradcam(e2e_cfg):
     assert found_gif
 
 
+def test_e2e_find_masks_min_score_skip(e2e_cfg):
+    """TF drivers' score<threshold clip skip (find_mask_smth.py:364-366):
+    an impossible threshold drops every clip; results are empty but the
+    pickles are still written."""
+    state = test_e2e_train_and_eval.state
+    e2e_cfg.mask.opt_iter = 2
+    e2e_cfg.mask.min_score = 1.1  # class probs can never reach this
+    try:
+        tm, gc = find_masks(
+            e2e_cfg, state.variables(), max_batches=1, save_viz=False
+        )
+    finally:
+        e2e_cfg.mask.min_score = 0.0
+    assert tm == [] and gc == []
+
+
+def test_e2e_cli_grad_cam(tmp_path):
+    """The grad-cam CLI subcommand runs a real CAM sweep and writes the
+    results pickle (was a stub in round 1)."""
+    import json as _json
+    import pickle
+
+    from ivf_tpu.cli import main as cli_main
+
+    _make_frame_tree(tmp_path / "data", n_classes=2, clips_per_class=2)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(
+        _json.dumps(
+            {
+                "model_name": "cli_gc",
+                "output_dir": str(tmp_path / "out"),
+                "data_folder": str(tmp_path / "data"),
+                "conv_model": "clstm",
+                "num_classes": 2,
+                "batch_size": 4,
+                "clip_size": 8,
+                "input_spatial_size": 32,
+                "clstm_hidden": 4,
+                "clstm_layers": 1,
+                "conv_stride": 1,
+                "dropout": 0.0,
+                "num_workers": 2,
+            }
+        )
+    )
+    cli_main(["grad-cam", "-c", str(cfg_path), "--test_run"])
+    results = os.path.join(str(tmp_path / "out"), "cli_gc", "results")
+    pickles = [f for f in os.listdir(results) if "allGradCamResults" in f]
+    assert pickles
+    with open(os.path.join(results, pickles[0]), "rb") as f:
+        data = pickle.load(f)
+    assert len(data) == 4
+    assert data[0]["GCHeatMap"].shape == (8, 32, 32)
+    # fallback ids are batch-unique
+    assert data[0]["video_id"] != data[1]["video_id"]
+
+
+def test_e2e_train_patience_halving(e2e_cfg):
+    """lr_schedule='patience_halving' is selectable end-to-end."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        e2e_cfg,
+        model_name="e2e_ph",
+        optim=dataclasses.replace(
+            e2e_cfg.optim,
+            lr_schedule="patience_halving",
+            lr_patience=1,
+            num_epochs=2,
+        ),
+    )
+    _state, history = train(cfg)
+    assert len(history) == 2
+    assert all(np.isfinite(h["val"]["loss"]) for h in history)
+
+
 def test_cli_make_records_and_train_on_records(tmp_path):
     _make_frame_tree(tmp_path / "data", clips_per_class=2)
     from ivf_tpu.cli import main

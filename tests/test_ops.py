@@ -201,6 +201,30 @@ def test_pallas_pointwise_conv_matches_jnp():
     np.testing.assert_allclose(np.asarray(out2), ref2, rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_pointwise_conv_vjp():
+    """Custom VJP (dx via the kernel with w.T, dw/db via einsum) matches
+    autodiff of the reference einsum formulation — use_pallas models are
+    differentiable (the mask search needs d score / d input)."""
+    import jax
+    import jax.numpy as jnp
+    from ivf_tpu.ops.pallas.pointwise_conv import pallas_pointwise_conv
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 3, 5, 5, 112))
+    w = jax.random.normal(jax.random.PRNGKey(1), (112, 48)) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(2), (48,))
+    g = jax.random.normal(jax.random.PRNGKey(3), (2, 3, 5, 5, 48))
+    ref = lambda x, w, b: jnp.maximum(jnp.einsum("...c,cd->...d", x, w) + b, 0)
+    _, vjp_ref = jax.vjp(ref, x, w, b)
+    _, vjp_pl = jax.vjp(
+        lambda x, w, b: pallas_pointwise_conv(x, w, b, relu=True), x, w, b
+    )
+    for a, bb in zip(vjp_ref(g), vjp_pl(g)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=2e-4, atol=2e-5
+        )
+
+
 def test_pallas_maxpool3d_matches_xla():
     """Pallas 3x3x3 stride-1 pool: forward bit-exact vs reduce_window;
     backward exact on tie-free input (distinct values route gradients to
