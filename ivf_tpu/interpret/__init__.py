@@ -13,6 +13,12 @@ from ivf_tpu.interpret.mask_opt import (
     MaskSearchResult,
 )
 from ivf_tpu.interpret.gradcam import grad_cam
+from ivf_tpu.interpret.gradcam2d import (
+    grad_cam_image,
+    guided_backprop_image,
+    combine_cam_gb,
+)
+from ivf_tpu.interpret.guided_backprop import guided_relu, guided_backprop_i3d
 
 __all__ = [
     "perturb_sequence",
@@ -26,4 +32,9 @@ __all__ = [
     "find_mask",
     "MaskSearchResult",
     "grad_cam",
+    "grad_cam_image",
+    "guided_backprop_image",
+    "combine_cam_gb",
+    "guided_relu",
+    "guided_backprop_i3d",
 ]

@@ -87,6 +87,15 @@ VARIANTS = {
     "ckpt192": dict(batch=192, ckpt_score=True),
     "ckpt256": dict(batch=256, ckpt_score=True),
     "ckpt384": dict(batch=384, ckpt_score=True),
+    # combined: bf16 clip storage frees the f32 clip residency so the
+    # checkpoint/remat memory savings translate into bigger batches
+    "ckptbf16_256": dict(batch=256, ckpt_score=True, clip_bf16=True),
+    "ckptbf16_384": dict(batch=384, ckpt_score=True, clip_bf16=True),
+    "ckptbf16_512": dict(batch=512, ckpt_score=True, clip_bf16=True),
+    "rematbf16_192": dict(batch=192, remat=True, clip_bf16=True),
+    "rematbf16_256": dict(batch=256, remat=True, clip_bf16=True),
+    "rematbf16_384": dict(batch=384, remat=True, clip_bf16=True),
+    "clipbf16_256": dict(batch=256, clip_bf16=True),
 }
 
 

@@ -326,3 +326,157 @@ def test_freeze_matrix_equals_scan():
     g1 = jax.grad(lambda m: jnp.sum(freeze_perturb(seq, m, use_matrix=True) ** 2))(mask)
     g2 = jax.grad(lambda m: jnp.sum(freeze_perturb(seq, m, use_matrix=False) ** 2))(mask)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+
+# ---- generic 2D grad-cam / guided backprop (vendored-lib parity) ----
+
+
+def _tiny_torch_cnn(seed=7):
+    """features: conv-relu-conv-relu; classifier: linear on the flattened
+    activation — the model shape GradCam (grad-cam.py:96-145) assumes."""
+    torch.manual_seed(seed)
+    feat = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 4, 3, padding=1),
+        torch.nn.ReLU(),
+        torch.nn.Conv2d(4, 5, 3, padding=1),
+        torch.nn.ReLU(),
+    )
+    head = torch.nn.Linear(5 * 6 * 6, 6)
+    return feat, head
+
+
+def _jax_fns_from_torch(feat, head):
+    """features_fn/head_fn over channels-last jax arrays mirroring the
+    torch modules exactly (weights copied)."""
+    from ivf_tpu.ops.conv import conv2d_same_torch
+
+    k1 = jnp.asarray(feat[0].weight.detach().numpy().transpose(2, 3, 1, 0))
+    b1 = jnp.asarray(feat[0].bias.detach().numpy())
+    k2 = jnp.asarray(feat[2].weight.detach().numpy().transpose(2, 3, 1, 0))
+    b2 = jnp.asarray(feat[2].bias.detach().numpy())
+    wl = jnp.asarray(head.weight.detach().numpy())
+    bl = jnp.asarray(head.bias.detach().numpy())
+
+    def features_fn(img):  # (H, W, 3) -> (H, W, 5)
+        x = conv2d_same_torch(img[None], k1, bias=b1)
+        x = jnp.maximum(x, 0.0)
+        x = conv2d_same_torch(x, k2, bias=b2)
+        return jnp.maximum(x, 0.0)[0]
+
+    def head_fn(act):  # flatten in torch's CHW order before the linear
+        flat = jnp.transpose(act, (2, 0, 1)).reshape(-1)
+        return wl @ flat + bl
+
+    return features_fn, head_fn
+
+
+def test_grad_cam_image_matches_torch_gradcam():
+    """Full GradCam.__call__ parity (grad-cam.py:109-145) on a tiny CNN:
+    torch hooks + numpy CAM vs grad_cam_image (identity-resize size)."""
+    from ivf_tpu.interpret import grad_cam_image
+
+    feat, head = _tiny_torch_cnn()
+    rng = np.random.RandomState(3)
+    img = rng.randn(6, 6, 3).astype(np.float32)
+
+    # torch reference pass (hook-equivalent via retain_grad)
+    x = torch.from_numpy(img.transpose(2, 0, 1)[None])
+    act = feat(x)
+    act.retain_grad()
+    out = head(act.view(1, -1))
+    index = int(out.detach().numpy().argmax())
+    one_hot = torch.zeros_like(out)
+    one_hot[0, index] = 1.0
+    (one_hot * out).sum().backward()
+    grads = act.grad.numpy()[0]  # (C', H', W')
+    target = act.detach().numpy()[0]
+    weights = grads.mean(axis=(1, 2))  # grad-cam.py:135
+    cam_ref = np.maximum((weights[:, None, None] * target).sum(0), 0)
+    cam_ref = cam_ref - cam_ref.min()
+    cam_ref = cam_ref / cam_ref.max()
+
+    features_fn, head_fn = _jax_fns_from_torch(feat, head)
+    cam, scores = grad_cam_image(
+        features_fn, head_fn, jnp.asarray(img), output_size=(6, 6)
+    )
+    assert int(jnp.argmax(scores)) == index
+    np.testing.assert_allclose(
+        np.asarray(out.detach().numpy()[0]), np.asarray(scores), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(cam), cam_ref, rtol=1e-3, atol=1e-5)
+
+
+def test_guided_backprop_image_matches_torch_replica():
+    """guided_relu VJP == GuidedBackpropReLU.backward (grad-cam.py:147-163):
+    gradient flows only where input > 0 AND upstream gradient > 0."""
+    from ivf_tpu.interpret import guided_backprop_image, guided_relu
+
+    class GBReLU(torch.autograd.Function):  # modern port of lines 147-163
+        @staticmethod
+        def forward(ctx, inp):
+            ctx.save_for_backward(inp)
+            return inp.clamp(min=0)
+
+        @staticmethod
+        def backward(ctx, grad_output):
+            (inp,) = ctx.saved_tensors
+            return grad_output * (inp > 0).type_as(inp) * (
+                grad_output > 0
+            ).type_as(inp)
+
+    feat, head = _tiny_torch_cnn(seed=11)
+    rng = np.random.RandomState(4)
+    img = rng.randn(6, 6, 3).astype(np.float32)
+    index = 2
+
+    x = torch.from_numpy(img.transpose(2, 0, 1)[None]).requires_grad_(True)
+    h = GBReLU.apply(feat[0](x))
+    h = GBReLU.apply(feat[2](h))
+    out = head(h.view(1, -1))
+    out[0, index].backward()
+    gb_ref = x.grad.numpy()[0].transpose(1, 2, 0)  # -> (H, W, C)
+
+    from ivf_tpu.ops.conv import conv2d_same_torch
+
+    k1 = jnp.asarray(feat[0].weight.detach().numpy().transpose(2, 3, 1, 0))
+    b1 = jnp.asarray(feat[0].bias.detach().numpy())
+    k2 = jnp.asarray(feat[2].weight.detach().numpy().transpose(2, 3, 1, 0))
+    b2 = jnp.asarray(feat[2].bias.detach().numpy())
+    wl = jnp.asarray(head.weight.detach().numpy())
+    bl = jnp.asarray(head.bias.detach().numpy())
+
+    def score_fn(img):
+        x = guided_relu(conv2d_same_torch(img[None], k1, bias=b1))
+        x = guided_relu(conv2d_same_torch(x, k2, bias=b2))
+        flat = jnp.transpose(x[0], (2, 0, 1)).reshape(-1)
+        return wl @ flat + bl
+
+    gb = guided_backprop_image(score_fn, jnp.asarray(img), index)
+    np.testing.assert_allclose(np.asarray(gb), gb_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_combine_and_show_cam(tmp_path):
+    """cam*gb combination (grad-cam.py:254-258) + show_cam_on_image blend
+    formula (grad-cam.py:89-94) writes a valid image."""
+    from ivf_tpu.interpret import combine_cam_gb
+    from ivf_tpu.interpret.gradcam2d import preprocess_image, show_cam_on_image
+
+    rng = np.random.RandomState(5)
+    cam = rng.rand(6, 6).astype(np.float32)
+    gb = rng.randn(6, 6, 3).astype(np.float32)
+    out = np.asarray(combine_cam_gb(jnp.asarray(cam), jnp.asarray(gb)))
+    np.testing.assert_allclose(out, cam[:, :, None] * gb, rtol=1e-6)
+
+    img = rng.rand(6, 6, 3).astype(np.float32)
+    path = str(tmp_path / "cam.jpg")
+    blended = show_cam_on_image(img, cam, path)
+    assert blended.shape == (6, 6, 3) and blended.dtype == np.uint8
+    assert (tmp_path / "cam.jpg").exists()
+
+    # preprocess_image: BGR flip + ImageNet normalization (grad-cam.py:74-87)
+    pre = np.asarray(preprocess_image(img))
+    means = np.array([0.485, 0.456, 0.406], np.float32)
+    stds = np.array([0.229, 0.224, 0.225], np.float32)
+    np.testing.assert_allclose(
+        pre, (img[:, :, ::-1] - means) / stds, rtol=1e-5, atol=1e-6
+    )
