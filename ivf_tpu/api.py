@@ -54,6 +54,7 @@ def build_model(cfg: Config, softmax_override: Optional[bool] = None):
             last_stride=m.last_stride,
             stride_mod_layers=tuple(m.stride_mod_layers),
             use_pallas=m.use_pallas,
+            fuse_pool_conv=m.fuse_pool_conv,
         )
         if "kth" in name:
             kwargs["final_time_length"] = m.final_temp_time

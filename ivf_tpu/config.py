@@ -81,6 +81,8 @@ class ModelConfig:
     pretrained_model_path: str = "no_ckpt"
     compute_dtype: str = "float32"  # float32 | bfloat16
     use_pallas: bool = False  # route eligible ops through Pallas kernels
+    fuse_pool_conv: bool = False  # I3D Inception branch-3 pool+1x1conv
+    # as one Pallas kernel per direction (inference/mask search only)
     # Keras-ConvLSTM2D cell fidelity knobs for the TF model family
     # (video_features_tf/models/clstm.py:9-51): hard-sigmoid recurrent
     # activation and L2 kernel regularization feeding the training loss.
@@ -217,6 +219,7 @@ class Config:
             "recurrent_activation": ("model", "recurrent_activation"),
             "kernel_l2": ("model", "kernel_l2"),
             "use_pallas": ("model", "use_pallas"),
+            "fuse_pool_conv": ("model", "fuse_pool_conv"),
             "conv_kernel_size": ("model", "conv_kernel_size"),
             "kernel_size_1": ("model", "conv_kernel_size"),
             "kernel_size_2": ("model", "conv_kernel_size_2"),

@@ -81,7 +81,7 @@ def init_mask_central(
     if t // 2 - 1 < 1:
         # degenerate tiny clips: the reference would crash (new_mask unbound);
         # we return the all-on mask
-        return jnp.full((t,), 5.0, seq.dtype)
+        return jnp.full((t,), 5.0, jnp.float32)
     n_cand = t // 2 - 1
     ii = jnp.arange(1, n_cand + 1)  # i = 1 .. T//2-1
     pos = jnp.arange(t)
@@ -99,7 +99,8 @@ def init_mask_central(
     first_below = jnp.argmax(below)  # 0 if none True
     chosen = jnp.where(jnp.any(below), first_below, n_cand - 1)
     mask01 = cand_masks[chosen]
-    return jnp.where(mask01 == 0, -5.0, 5.0).astype(seq.dtype)
+    # logits are always f32 (Adam state precision), whatever the clip dtype
+    return jnp.where(mask01 == 0, -5.0, 5.0).astype(jnp.float32)
 
 
 def init_mask_random(key: jax.Array, t: int, dtype=jnp.float32) -> jax.Array:
@@ -147,7 +148,11 @@ def find_mask(
         m = jax.nn.sigmoid(logits)
         l1 = lam1 * jnp.sum(jnp.abs(m))
         tv = lam2 * tv_norm(m, 3.0, 3.0)
-        perturbed = perturb_sequence(seq, m, perturbation_type)
+        # closed_form: the freeze transition matrix as a few fused HLOs
+        # instead of a 2(T-1)-op scan per step (fwd + transpose) — identical
+        # math up to ~1e-4 float reassociation; the 60-step trajectory
+        # parity test vs the reference stays green (tests/test_interpret.py)
+        perturbed = perturb_sequence(seq, m, perturbation_type, closed_form=True)
         class_score = score_fn(perturbed)[target]
         total = l1 + tv + class_score
         return total, (l1, tv, class_score)
@@ -169,11 +174,14 @@ def find_mask(
         n_run = n_run + active.astype(jnp.int32)
         return (logits, opt_state, loss, active, n_run, aux), None
 
-    zero = jnp.zeros((), seq.dtype)
+    # loss/aux are always f32 (score_fn output is upcast; the mask logits
+    # stay f32 for Adam) regardless of the clip dtype — bf16 clip storage
+    # must not change the optimization arithmetic
+    zero = jnp.zeros((), jnp.float32)
     init = (
         mask_init_logits,
         opt.init(mask_init_logits),
-        jnp.asarray(999999.0, seq.dtype),
+        jnp.asarray(999999.0, jnp.float32),
         jnp.asarray(True),
         jnp.asarray(0, jnp.int32),
         (zero, zero, zero),  # aux placeholder (overwritten on step 1)

@@ -33,31 +33,59 @@ def snap_mask(mask: jax.Array) -> jax.Array:
     return (mask > 0.5).astype(mask.dtype)
 
 
-def freeze_transition_matrix(mask: jax.Array) -> jax.Array:
+def freeze_transition_matrix(
+    mask: jax.Array, closed_form: bool = False
+) -> jax.Array:
     """Lower-triangular (T, T) matrix W with ``out = W @ seq`` equal to the
     freeze recurrence ``out[u] = (1-m[u])*seq[u] + m[u]*out[u-1]``.
 
     The recurrence is linear in the frames, so its unrolled form is a
     per-frame weighting ``W[u, k] = (1-m[k]) * prod(m[k+1..u])`` (with the
-    k=0 column absorbing the un-perturbed first frame). Building W is a
-    T-step scan over (T,)-vectors — negligible — which turns the per-frame
-    sequential blend into ONE dense contraction (see ``freeze_perturb``).
+    k=0 column absorbing the un-perturbed first frame), which turns the
+    per-frame sequential blend into ONE dense contraction (see
+    ``freeze_perturb``).
+
+    ``closed_form=True`` builds W without the T-step scan: with
+    ``L[u] = sum_{j<=u} log m[j]`` the tail product is
+    ``prod(m[k+1..u]) = exp(L[u] - L[k])``, so W is a few fused
+    elementwise HLOs instead of 2(T-1) sequential scan-iteration ops per
+    optimization step (fwd + transpose) — measurable on backends with
+    per-op dispatch overhead. Stable in log space (mask entries are
+    sigmoids, never exactly 0; direct cumprod would underflow f32 around
+    T=16 small masks). The scan path remains for bit-exact comparison.
     """
     t = mask.shape[0]
     m = mask
-    eye = jnp.eye(t, dtype=mask.dtype)
+    if not closed_form:
+        eye = jnp.eye(t, dtype=mask.dtype)
 
-    def step(prev_row, u):
-        # row_u = m[u] * row_{u-1} + (1 - m[u]) * e_u
-        row = m[u] * prev_row + (1.0 - m[u]) * eye[u]
-        return row, row
+        def step(prev_row, u):
+            # row_u = m[u] * row_{u-1} + (1 - m[u]) * e_u
+            row = m[u] * prev_row + (1.0 - m[u]) * eye[u]
+            return row, row
 
-    _, rows = lax.scan(step, eye[0], jnp.arange(1, t))
-    return jnp.concatenate([eye[:1], rows], axis=0)
+        _, rows = lax.scan(step, eye[0], jnp.arange(1, t))
+        return jnp.concatenate([eye[:1], rows], axis=0)
+
+    logm = jnp.log(jnp.maximum(m, jnp.finfo(mask.dtype).tiny))
+    # L[u] = sum_{j in 1..u} log m[j]  (index 0 excluded by the recurrence)
+    cum = jnp.cumsum(logm.at[0].set(0.0))
+    # valid (k <= u) exponents are sums of log-sigmoids, always <= 0; the
+    # min(., 0) only clips the upper triangle, which would otherwise exp to
+    # inf and poison the where() gradient despite being masked below
+    tail = jnp.exp(jnp.minimum(cum[:, None] - cum[None, :], 0.0))
+    coef = jnp.where(jnp.arange(t) == 0, 1.0, 1.0 - m)  # (1-m[k]); k=0 -> 1
+    u = jnp.arange(t)
+    w = jnp.where(u[:, None] >= u[None, :], coef[None, :] * tail, 0.0)
+    # diagonal: W[u,u] = (1-m[u]) exactly (tail exp(0)=1); row 0 = e_0
+    return w.astype(mask.dtype)
 
 
 def freeze_perturb(
-    seq: jax.Array, mask: jax.Array, use_matrix: bool = True
+    seq: jax.Array,
+    mask: jax.Array,
+    use_matrix: bool = True,
+    closed_form: bool = False,
 ) -> jax.Array:
     """Freeze perturbation: masked frames repeat the previous (possibly
     already-frozen) frame. seq (T, ...), mask (T,) in [0,1].
@@ -66,10 +94,14 @@ def freeze_perturb(
     ``einsum('ut,t...->u...')`` instead of T sequential frame-sized blend
     kernels (the reference's per-frame loop / tf.scan). ~10x cheaper on TPU;
     ``use_matrix=False`` keeps the literal lax.scan recurrence.
+    ``closed_form=True`` additionally builds the transition matrix without
+    its T-step scan (see ``freeze_transition_matrix``) — bit-parity drifts
+    ~1e-4 relative worst-case from log/exp reassociation, so the exact scan
+    stays the default; the mask-search hot loop opts in (mask_opt.py).
     """
     m = mask.astype(seq.dtype)
     if use_matrix:
-        w = freeze_transition_matrix(m)
+        w = freeze_transition_matrix(m, closed_form=closed_form)
         flat = seq.reshape(seq.shape[0], -1)
         out = jnp.einsum(
             "ut,tf->uf", w, flat, preferred_element_type=seq.dtype
@@ -132,12 +164,13 @@ def perturb_sequence(
     mask: jax.Array,
     perturbation_type: str = "freeze",
     snap_values: bool = False,
+    closed_form: bool = False,
 ) -> jax.Array:
     """Dispatcher mirroring ``mask.perturb_sequence`` (mask.py:4-57)."""
     if snap_values:
         mask = snap_mask(mask)
     if perturbation_type == "freeze":
-        return freeze_perturb(seq, mask)
+        return freeze_perturb(seq, mask, closed_form=closed_form)
     if perturbation_type == "reverse":
         return reverse_perturb(seq, mask)
     raise ValueError(f"unknown perturbation_type {perturbation_type}")

@@ -89,6 +89,8 @@ class I3D(nn.Module):
     # the XLA path in PERF.md — off by default where XLA wins
     pallas_pool: bool = False  # Inception branch-3 pools via the Pallas
     # maxpool fwd/bwd kernels (see models/layers.py + PERF.md)
+    fuse_pool_conv: bool = False  # whole Inception branch 3 (pool + folded
+    # 1x1x1 conv + ReLU) as one Pallas kernel each way (models/layers.py)
 
     def setup(self):
         if self.final_endpoint not in VALID_ENDPOINTS:
@@ -130,6 +132,7 @@ class I3D(nn.Module):
                         fuse_3x3=self.fuse_3x3,
                         use_pallas=self.use_pallas,
                         pallas_pool=self.pallas_pool,
+                        fuse_pool_conv=self.fuse_pool_conv,
                     ),
                 )
         if self.last_relu == "leaky":

@@ -172,6 +172,12 @@ class InceptionModule(nn.Module):
     # pair (ops/pallas/maxpool3d.py) — bypasses XLA's select_and_scatter
     # backward; gradient ties route to all maxima instead of one (see the
     # kernel docstring); bit-identical forward
+    fuse_pool_conv: bool = False  # whole branch 3 (pool + folded-BN 1x1x1
+    # conv + bias + ReLU) as ONE Pallas kernel fwd and ONE bwd
+    # (ops/pallas/fused_branch3.py): the pooled tensor never round-trips
+    # HBM and select_and_scatter+conv-transpose collapse into one kernel.
+    # Same tie-semantics note as pallas_pool. Inference/mask-search only
+    # (requires folded BN); falls back when folding conditions don't hold
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -241,14 +247,26 @@ class InceptionModule(nn.Module):
         else:
             b1 = b1b(b1, train)
             b2 = b2b(b2, train)
-        if self.pallas_pool:
-            from ivf_tpu.ops.pallas.maxpool3d import pallas_maxpool3d_s1
-
-            b3 = pallas_maxpool3d_s1(x)
-        else:
-            b3 = max_pool3d_same(x, (3, 3, 3), (1, 1, 1))
-        b3 = Unit3D(
+        b3b = Unit3D(
             oc[5], (1, 1, 1), activation=act, fold_bn=fb, use_pallas=up,
             name="b3b",
-        )(b3, train)
+        )
+        if self.fuse_pool_conv and fusing:
+            from ivf_tpu.ops.pallas.fused_branch3 import fused_pool_conv
+
+            k3, c3 = b3b(
+                jnp.zeros((1, 1, 1, 1, x.shape[-1]), x.dtype),
+                return_folded=True,
+            )
+            b3 = fused_pool_conv(
+                x, k3.reshape(x.shape[-1], oc[5]), c3, True
+            )
+        else:
+            if self.pallas_pool:
+                from ivf_tpu.ops.pallas.maxpool3d import pallas_maxpool3d_s1
+
+                b3 = pallas_maxpool3d_s1(x)
+            else:
+                b3 = max_pool3d_same(x, (3, 3, 3), (1, 1, 1))
+            b3 = b3b(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)

@@ -84,6 +84,42 @@ def main():
         finally:
             mo.perturb_sequence = orig_pert
 
+    if "no3x3" in which:
+        # center-tap the 3x3x3 convs (1/27 the FLOPs, same shapes) to
+        # measure the share of the big Inception branch convs (timing only)
+        orig_conv = conv_mod.conv3d_same
+
+        def center_tap(x, kernel, strides=(1, 1, 1), bias=None, **k):
+            if kernel.shape[:3] == (3, 3, 3):
+                kernel = kernel[1:2, 1:2, 1:2]
+            return orig_conv(x, kernel, strides, bias, **k)
+
+        conv_mod.conv3d_same = center_tap
+        try:
+            run, clips, steps = build_run()
+            print(f"no3x3(center-tap): {steps/timed(run, clips):.0f} steps/s", flush=True)
+        finally:
+            conv_mod.conv3d_same = orig_conv
+
+    if "nostem" in which:
+        # center-tap the 7x7x7 stem (s2d path off so the patch applies)
+        orig_conv = conv_mod.conv3d_same
+
+        def center_stem(x, kernel, strides=(1, 1, 1), bias=None, **k):
+            if kernel.shape[:3] == (7, 7, 7):
+                kernel = kernel[3:4, 3:4, 3:4]
+            return orig_conv(x, kernel, strides, bias, **k)
+
+        conv_mod.conv3d_same = center_stem
+        import ivf_tpu.models.layers  # noqa: F401  (stem_s2d=True bypasses
+        # conv3d_same; build with the plain path)
+        try:
+            run, clips, steps = build_run()
+            print(f"nostem(center-tap,s2d-on-noop expected)", flush=True)
+            print(f"nostem: {steps/timed(run, clips):.0f} steps/s", flush=True)
+        finally:
+            conv_mod.conv3d_same = orig_conv
+
     if "nopoolall" in which:
         def fake_pool2(x, window, stride, *a, **k):
             st = tuple(stride)

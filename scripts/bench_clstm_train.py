@@ -1,0 +1,89 @@
+"""ConvLSTM KTH training throughput on the real TPU: scan vs unrolled.
+
+VERDICT round-1 weak #3: the unrolled recurrence trained at 16 clips/s vs
+1,035 clips/s inference. The nn.scan recurrence (models/convlstm.py) should
+close most of that; this script measures train clips/s and compile time for
+both paths at the reference KTH shape (batch 24, 32x160x120), plus
+inference clips/s for the train/infer ratio.
+
+Axon timing rules: steps inside one jit via lax.scan over salted inputs,
+scalar fetch, min of two timed runs.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+sys.path.insert(0, "/root/repo")
+
+from ivf_tpu.models import ConvLSTMClassifier
+from ivf_tpu.train import build_optimizer, create_train_state, make_train_step
+
+
+def build(use_scan, remat=False, batch=24, t=32, h=160, w=120, n_iters=5):
+    model = ConvLSTMClassifier(
+        num_classes=6,
+        nb_lstm_units=32,
+        lstm_layers=2,
+        conv_stride=2,
+        effective_steps=(7, 15, 23, 31),
+        use_scan=use_scan,
+        remat=remat,
+    )
+    rng = jax.random.PRNGKey(0)
+    clips = jax.random.normal(rng, (batch, t, h, w, 3), jnp.float32)
+    labels = jnp.arange(batch, dtype=jnp.int32) % 6
+    state = create_train_state(model, rng, clips[:1], build_optimizer("adam", 1e-3))
+    step = make_train_step()
+
+    @jax.jit
+    def run(state, clips, labels, salt):
+        def body(carry, i):
+            st, acc = carry
+            st, metrics = step(st, clips + (i + salt) * 1e-6, labels, rng)
+            return (st, acc + metrics["loss"]), None
+
+        (state, acc), _ = lax.scan(
+            body, (state, 0.0), jnp.arange(n_iters, dtype=jnp.float32)
+        )
+        return acc
+
+    return run, (state, clips, labels), batch * n_iters
+
+
+def timed(run, args, salt):
+    t0 = time.time()
+    out = float(run(*args, jnp.float32(salt)))
+    assert np.isfinite(out), out
+    return time.time() - t0
+
+
+def main():
+    which = sys.argv[1:] or ["scan", "unrolled", "scan_remat"]
+    cfgs = {
+        "scan": dict(use_scan=True),
+        "unrolled": dict(use_scan=False),
+        "scan_remat": dict(use_scan=True, remat=True),
+    }
+    for name in which:
+        try:
+            run, args, clips_per_run = build(**cfgs[name])
+            t0 = time.time()
+            dt_compile = timed(run, args, 0.0)
+            dt = min(timed(run, args, 1.0), timed(run, args, 2.0))
+            print(
+                f"{name}: {clips_per_run/dt:.0f} train clips/s "
+                f"(compile+warm {dt_compile:.0f}s, run {dt:.2f}s)",
+                flush=True,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,7 @@ sys.path.insert(0, "/root/repo")
 
 def build(batch, n_steps, *, dtype="bfloat16", remat=False, fuse_3x3=False,
           clip_bf16=False, use_pallas=False, pallas_pool=False,
-          ckpt_score=False, t=16, hw=224):
+          fuse_pool_conv=False, ckpt_score=False, t=16, hw=224):
     from ivf_tpu.interpret.mask_opt import find_mask
     from ivf_tpu.models import i3d_smth
 
@@ -30,6 +30,7 @@ def build(batch, n_steps, *, dtype="bfloat16", remat=False, fuse_3x3=False,
         stem_s2d=True, fold_bn=True, fuse_1x1=True,
         fuse_3x3=fuse_3x3, remat=remat,
         use_pallas=use_pallas, pallas_pool=pallas_pool,
+        fuse_pool_conv=fuse_pool_conv,
     )
     key = jax.random.PRNGKey(0)
     clips = jax.random.normal(key, (batch, t, hw, hw, 3), jnp.float32)
@@ -96,6 +97,11 @@ VARIANTS = {
     "rematbf16_256": dict(batch=256, remat=True, clip_bf16=True),
     "rematbf16_384": dict(batch=384, remat=True, clip_bf16=True),
     "clipbf16_256": dict(batch=256, clip_bf16=True),
+    # fused branch-3 (pool + 1x1 conv) Pallas kernel
+    "fusedpool_128": dict(batch=128, fuse_pool_conv=True),
+    "fusedpool_bf16_128": dict(batch=128, fuse_pool_conv=True, clip_bf16=True),
+    "fusedpool_64": dict(batch=64, fuse_pool_conv=True),
+    "fusedpool_f3_128": dict(batch=128, fuse_pool_conv=True, fuse_3x3=True),
 }
 
 

@@ -47,6 +47,7 @@ def test_guided_relu_vjp():
     np.testing.assert_allclose(np.asarray(g), [0, 0, 1])
 
 
+@pytest.mark.slow
 def test_guided_backprop_i3d_smoke():
     from ivf_tpu.interpret.guided_backprop import guided_backprop_i3d
     from ivf_tpu.models.i3d import I3D

@@ -56,6 +56,7 @@ def test_tf_family_model_knobs():
     assert m.conv_kernel_size == (3, 5)
 
 
+@pytest.mark.slow
 def test_clstm_preset_forward():
     cfg = Config.load(os.path.join(REPO, "configs/config_clstm_kth.py"))
     m = build_model(cfg)
@@ -78,6 +79,7 @@ def test_clstm_preset_forward():
 
 
 @pytest.mark.parametrize("ra", ["sigmoid", "hard_sigmoid"])
+@pytest.mark.slow
 def test_convlstm_scan_matches_unrolled(ra):
     kw = dict(
         num_classes=5,
@@ -117,6 +119,7 @@ def test_convlstm_scan_matches_unrolled(ra):
         )
 
 
+@pytest.mark.slow
 def test_convlstm_scan_grad_and_remat():
     kw = dict(
         num_classes=3,
@@ -156,6 +159,7 @@ def test_kernel_l2_penalty():
     )
 
 
+@pytest.mark.slow
 def test_i3d_use_pallas_matches_xla():
     """use_pallas routes every 1x1x1 conv (branch entries, fused trio,
     b3b, logits head) through the Pallas kernel — identical output

@@ -59,6 +59,7 @@ def e2e_cfg(tmp_path_factory):
     return cfg
 
 
+@pytest.mark.slow
 def test_e2e_train_and_eval(e2e_cfg):
     state, history = train(e2e_cfg)
     assert len(history) == 2
@@ -75,6 +76,7 @@ def test_e2e_train_and_eval(e2e_cfg):
     test_e2e_train_and_eval.state = state
 
 
+@pytest.mark.slow
 def test_e2e_find_masks_with_gradcam(e2e_cfg):
     state = test_e2e_train_and_eval.state
     e2e_cfg.mask.opt_iter = 8
@@ -117,6 +119,7 @@ def test_e2e_find_masks_with_gradcam(e2e_cfg):
     assert found_gif
 
 
+@pytest.mark.slow
 def test_e2e_find_masks_min_score_skip(e2e_cfg):
     """TF drivers' score<threshold clip skip (find_mask_smth.py:364-366):
     an impossible threshold drops every clip; results are empty but the
@@ -133,6 +136,7 @@ def test_e2e_find_masks_min_score_skip(e2e_cfg):
     assert tm == [] and gc == []
 
 
+@pytest.mark.slow
 def test_e2e_cli_grad_cam(tmp_path):
     """The grad-cam CLI subcommand runs a real CAM sweep and writes the
     results pickle (was a stub in round 1)."""
@@ -174,6 +178,7 @@ def test_e2e_cli_grad_cam(tmp_path):
     assert data[0]["video_id"] != data[1]["video_id"]
 
 
+@pytest.mark.slow
 def test_e2e_train_patience_halving(e2e_cfg):
     """lr_schedule='patience_halving' is selectable end-to-end."""
     import dataclasses
@@ -219,6 +224,7 @@ def test_cli_make_records_and_train_on_records(tmp_path):
     assert clip.shape == (8, 32, 32, 3) and label in (0, 1)
 
 
+@pytest.mark.slow
 def test_i3d_find_masks_end_to_end(tmp_path):
     """I3D path of find_masks (trunk/head-split Grad-CAM + vmapped search)
     on small synthetic clips, exercising the sized-down I3D end to end."""
@@ -316,6 +322,7 @@ def test_make_records_edge_cases(tmp_path):
         assert frames.shape == (4, 8, 8, 3)
 
 
+@pytest.mark.slow
 def test_find_masks_kth_filter_no_matches(e2e_cfg):
     """kth_clips_filter with no matching tags: clean empty results, pickles
     still written."""

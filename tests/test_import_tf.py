@@ -185,6 +185,7 @@ def test_clstm_tf_import_golden(tmp_path):
     np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_i3d_tf_import_roundtrip():
     """Our I3D params -> Sonnet-style names -> import -> identical tree +
     identical forward (pins the name mapping as a bijection; I3D math is

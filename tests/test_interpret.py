@@ -68,6 +68,7 @@ def test_reverse_perturb_parity(ref_mask, mask):
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_reverse_perturb_random_masks(ref_mask):
     rng = np.random.RandomState(7)
     for trial in range(10):
@@ -125,6 +126,7 @@ def _make_score_pair(t=16, num_classes=5, seed=3):
 
 
 @pytest.mark.parametrize("perturbation_type", ["freeze", "reverse"])
+@pytest.mark.slow
 def test_find_mask_full_trajectory_parity(ref_mask, perturbation_type):
     """300-step Adam mask optimization: ours vs a torch replica of the
     reference loop (FindMasksComparison_I3D_smth.py:188-214) using the
@@ -203,6 +205,7 @@ def test_find_mask_early_stop_freezes_updates():
     assert int(res.n_steps_run) < 50
 
 
+@pytest.mark.slow
 def test_find_mask_batched_vmap():
     t, b = 8, 4
     score_jax, _ = _make_score_pair(t=t)
@@ -313,6 +316,7 @@ def test_grad_cam_end_to_end_finite_difference():
     assert scores.shape == (6,)
 
 
+@pytest.mark.slow
 def test_freeze_matrix_equals_scan():
     """Transition-matrix freeze == literal scan recurrence (all mask cases)."""
     for k, mask in enumerate(MASK_CASES):
@@ -479,4 +483,56 @@ def test_combine_and_show_cam(tmp_path):
     stds = np.array([0.229, 0.224, 0.225], np.float32)
     np.testing.assert_allclose(
         pre, (img[:, :, ::-1] - means) / stds, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_freeze_matrix_closed_form_equals_scan():
+    """Closed-form (cumsum-log) transition matrix == the scan recurrence,
+    values and gradients, including extreme logits where naive cumprod
+    would underflow f32 or the masked exp would overflow."""
+    from ivf_tpu.interpret.perturb import freeze_transition_matrix
+
+    rng = np.random.RandomState(9)
+    for t in (2, 3, 16, 31):
+        m = jnp.asarray(rng.rand(t).astype(np.float32))
+        a = freeze_transition_matrix(m, closed_form=True)
+        b = freeze_transition_matrix(m, closed_form=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+    seq = jnp.asarray(rng.randn(16, 3, 3, 2).astype(np.float32))
+    for logits_np in (rng.randn(16) * 3, np.full(16, -40.0), np.full(16, 12.0)):
+        logits = jnp.asarray(logits_np.astype(np.float32))
+
+        def loss(lg, cf):
+            w = freeze_transition_matrix(jax.nn.sigmoid(lg), closed_form=cf)
+            return jnp.sum((w @ seq.reshape(16, -1)) ** 2)
+
+        g1 = jax.grad(lambda lg: loss(lg, True))(logits)
+        g2 = jax.grad(lambda lg: loss(lg, False))(logits)
+        assert np.all(np.isfinite(np.asarray(g1)))
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-5)
+
+
+def test_find_mask_bf16_clip_storage():
+    """find_mask accepts bf16 clips (the large-batch memory mode): logits,
+    losses and scores stay f32 and the trajectory tracks the f32 one."""
+    rng = np.random.RandomState(11)
+    seq32 = jnp.asarray(rng.randn(8, 4, 4, 2).astype(np.float32))
+    w = jnp.asarray(rng.randn(6, 2).astype(np.float32) * 0.3)
+
+    def make_score(seq_dtype):
+        def score_fn(clip):
+            pooled = jnp.mean(clip.astype(jnp.float32), axis=(0, 1, 2))
+            return jax.nn.softmax(w @ pooled)
+        return score_fn
+
+    init = jnp.asarray(rng.randn(8).astype(np.float32))
+    r32 = find_mask(make_score(jnp.float32), seq32, 2, init, n_steps=25)
+    r16 = find_mask(
+        make_score(jnp.bfloat16), seq32.astype(jnp.bfloat16), 2, init, n_steps=25
+    )
+    assert r16.mask.dtype == jnp.float32 or r16.mask.dtype == jnp.bfloat16
+    assert np.all(np.isfinite(np.asarray(r16.loss)))
+    np.testing.assert_allclose(
+        np.asarray(r16.mask, np.float32), np.asarray(r32.mask), atol=0.05
     )

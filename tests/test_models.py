@@ -39,6 +39,7 @@ def i3d_pair(reference_pt_path):
     return ref, model, variables
 
 
+@pytest.mark.slow
 def test_i3d_full_forward_parity(i3d_pair):
     ref, model, variables = i3d_pair
     torch.manual_seed(1)
@@ -51,6 +52,7 @@ def test_i3d_full_forward_parity(i3d_pair):
     np.testing.assert_allclose(np.asarray(out), ref_out, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_i3d_softmax_and_endpoint_capture(i3d_pair):
     ref, _, variables = i3d_pair
     model = i3d_kth(
@@ -66,6 +68,7 @@ def test_i3d_softmax_and_endpoint_capture(i3d_pair):
     assert eps["Mixed_5c_out"][0].shape == (1, 2, 4, 5, 1024)
 
 
+@pytest.mark.slow
 def test_i3d_trunk_head_split_consistency(i3d_pair):
     ref, model, variables = i3d_pair
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 120, 160, 3))
@@ -79,6 +82,7 @@ def test_i3d_trunk_head_split_consistency(i3d_pair):
     )
 
 
+@pytest.mark.slow
 def test_i3d_stride_mod_layers_temporal_resolution():
     """stride_mod_layers removes temporal striding (mask-search config)."""
     model = I3D(
@@ -154,6 +158,7 @@ def test_convlstm_classifier_parity(clstm_pair):
     np.testing.assert_allclose(np.asarray(out), ref_out, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_convlstm_use_entire_seq_shape():
     model = ConvLSTMClassifier(
         num_classes=5,
@@ -170,6 +175,7 @@ def test_convlstm_use_entire_seq_shape():
     assert out.shape == (2, 5)
 
 
+@pytest.mark.slow
 def test_convlstm_feature_offset_is_gradcam_path():
     """grad wrt feature_offset at 0 is nonzero through the head but the
     forward value is unchanged."""
@@ -197,6 +203,7 @@ def test_convlstm_feature_offset_is_gradcam_path():
     assert float(jnp.abs(g[:, 0]).max()) == 0
 
 
+@pytest.mark.slow
 def test_cnn3d_shapes_and_registry():
     model = get_model("cnn_3d", num_classes=6)
     assert isinstance(model, CNN3D)
@@ -209,6 +216,7 @@ def test_cnn3d_shapes_and_registry():
     assert get_model("models.I3D_doubled_kth").pool_shape == (2, 4, 5)
 
 
+@pytest.mark.slow
 def test_i3d_extract_features(i3d_pair):
     ref, model, variables = i3d_pair
     x_t = torch.randn(1, 3, 16, 120, 160)
@@ -222,6 +230,7 @@ def test_i3d_extract_features(i3d_pair):
     )
 
 
+@pytest.mark.slow
 def test_convlstm_dropout_train_path():
     """ConvLSTM with dropout>0 trains (regression: nn.Dropout must be
     created in setup for the setup-based stack)."""

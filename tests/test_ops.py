@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 from ivf_tpu.ops import (
@@ -128,6 +129,7 @@ def test_max_pool2d_valid_matches_torch():
     np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_pallas_gate_math_matches_reference_cell(reference_pt_path):
     """Fused gate block == reference ConvLSTMCell.forward (zero peepholes)."""
     from models.convolution_lstm import ConvLSTMCell
@@ -183,6 +185,7 @@ def test_pallas_gate_math_matches_reference_cell(reference_pt_path):
     np.testing.assert_allclose(np.asarray(pc), np.asarray(jc), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pallas_pointwise_conv_matches_jnp():
     import jax
     from ivf_tpu.ops.pallas.pointwise_conv import pallas_pointwise_conv
@@ -201,6 +204,7 @@ def test_pallas_pointwise_conv_matches_jnp():
     np.testing.assert_allclose(np.asarray(out2), ref2, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_pointwise_conv_vjp():
     """Custom VJP (dx via the kernel with w.T, dw/db via einsum) matches
     autodiff of the reference einsum formulation — use_pallas models are
@@ -225,6 +229,7 @@ def test_pallas_pointwise_conv_vjp():
         )
 
 
+@pytest.mark.slow
 def test_pallas_maxpool3d_matches_xla():
     """Pallas 3x3x3 stride-1 pool: forward bit-exact vs reduce_window;
     backward exact on tie-free input (distinct values route gradients to
@@ -263,6 +268,7 @@ def test_pallas_maxpool3d_matches_xla():
     )
 
 
+@pytest.mark.slow
 def test_i3d_pallas_pool_wiring():
     """pallas_pool routes the Inception branch-3 pools through the kernel
     with unchanged output (interpret mode off-TPU)."""
@@ -342,3 +348,69 @@ def test_torch_batchnorm_train_semantics(reference_pt_path):
         bn_t2.running_var.numpy(),
         rtol=1e-4,
     )
+
+
+@pytest.mark.slow
+def test_i3d_fuse_pool_conv_matches_baseline():
+    """I3D(fuse_pool_conv=True): forward logits == baseline I3D, and the
+    input gradient == the I3D(pallas_pool=True) path, which shares the
+    fused kernel's documented tie semantics (cotangent to ALL window
+    maxima); vs plain XLA the gradients differ exactly at tie sites, which
+    are plentiful at random init (half the pooled activations are exact
+    post-ReLU zeros)."""
+    from ivf_tpu.models import i3d_smth
+
+    key = jax.random.PRNGKey(0)
+    clips = jax.random.uniform(key, (2, 16, 64, 64, 3), jnp.float32)
+    kw = dict(num_classes=12, dropout_rate=0.0, softmax=True, pool_shape=(2, 2, 2))
+    base = i3d_smth(**kw)
+    fused = i3d_smth(**kw, fuse_pool_conv=True)
+    tie_oracle = i3d_smth(**kw, pallas_pool=True)
+    v = base.init(key, clips)
+    y0 = base.apply(v, clips, train=False)
+    y1 = fused.apply(v, clips, train=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=2e-4, atol=1e-5)
+
+    def score(model, c):
+        return model.apply(v, c, train=False)[0, 3]
+
+    g_fused = np.asarray(jax.grad(lambda c: score(fused, c))(clips))
+    g_tie = np.asarray(jax.grad(lambda c: score(tie_oracle, c))(clips))
+    assert np.all(np.isfinite(g_fused))
+    np.testing.assert_allclose(g_fused, g_tie, rtol=1e-3, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_fused_pool_conv_matches_xla_composition():
+    """fused_pool_conv fwd + all three cotangents == max_pool3d_same +
+    einsum + bias (+ReLU), on tie-free data (interpret mode off-TPU)."""
+    from ivf_tpu.ops.pallas.fused_branch3 import fused_pool_conv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray((rng.rand(2, 4, 6, 6, 24) + 0.1).astype(np.float32))
+    w = jnp.asarray(rng.randn(24, 16).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.randn(16).astype(np.float32) * 0.1)
+
+    def ref(x, w, b, relu=True):
+        p = max_pool3d_same(x, (3, 3, 3), (1, 1, 1))
+        y = jnp.einsum("bthwi,io->bthwo", p, w) + b
+        return jnp.maximum(y, 0.0) if relu else y
+
+    for relu in (True, False):
+        np.testing.assert_allclose(
+            np.asarray(fused_pool_conv(x, w, b, relu)),
+            np.asarray(ref(x, w, b, relu)),
+            rtol=1e-5, atol=1e-5,
+        )
+        args = [x, w, b]
+        for pos in range(3):
+            def at(v, fn):
+                a = args[:pos] + [v] + args[pos + 1:]
+                return jnp.sum(jnp.sin(fn(*a, relu)))
+
+            g1 = jax.grad(lambda v: at(v, fused_pool_conv))(args[pos])
+            g2 = jax.grad(lambda v: at(v, ref))(args[pos])
+            np.testing.assert_allclose(
+                np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5,
+                err_msg=f"cotangent {pos} relu={relu}",
+            )

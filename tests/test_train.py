@@ -101,6 +101,7 @@ def _batches(clips, labels, bs):
         yield jnp.asarray(clips[i : i + bs]), jnp.asarray(labels[i : i + bs])
 
 
+@pytest.mark.slow
 def test_train_smoke_loss_decreases():
     model = ConvLSTMClassifier(
         num_classes=3,
@@ -135,6 +136,7 @@ def test_train_smoke_loss_decreases():
     assert res["y_hat_top5"].shape[1] == 3 or res["y_hat_top5"].shape[1] == 5
 
 
+@pytest.mark.slow
 def test_fit_with_scheduler_and_checkpoint(tmp_path):
     from ivf_tpu.utils.checkpoint import Checkpointer
 
@@ -222,6 +224,7 @@ def test_data_parallel_8_devices_matches_single():
     )
 
 
+@pytest.mark.slow
 def test_spatial_model_parallel_i3d_matches_single():
     """H-axis (model) sharding over a 2x4 mesh == single device (GSPMD
     inserts the conv halo exchanges)."""
