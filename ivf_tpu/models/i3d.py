@@ -91,6 +91,9 @@ class I3D(nn.Module):
     # maxpool fwd/bwd kernels (see models/layers.py + PERF.md)
     fuse_pool_conv: bool = False  # whole Inception branch 3 (pool + folded
     # 1x1x1 conv + ReLU) as one Pallas kernel each way (models/layers.py)
+    pool_impl: str = "reduce_window"  # 'shift': all maxpools as separable
+    # shifted-slice max chains (elementwise-select VJP, no
+    # select_and_scatter; tie-gradient deviation documented in ops/conv.py)
 
     def setup(self):
         if self.final_endpoint not in VALID_ENDPOINTS:
@@ -133,6 +136,7 @@ class I3D(nn.Module):
                         use_pallas=self.use_pallas,
                         pallas_pool=self.pallas_pool,
                         fuse_pool_conv=self.fuse_pool_conv,
+                        pool_impl=self.pool_impl,
                     ),
                 )
         if self.last_relu == "leaky":
@@ -167,11 +171,16 @@ class I3D(nn.Module):
         if kind == "conv" or kind == "mixed":
             return getattr(self, name)(x, train)
         if kind == "pool":
-            return max_pool3d_same(x, spec["window"], spec["stride"])
+            return max_pool3d_same(
+                x, spec["window"], spec["stride"], impl=self.pool_impl
+            )
         # spool
         st = self._layer_stride_t(name, spec["stride_t"])
         return max_pool3d_same(
-            x, spec["window"], (st, spec["stride_hw"], spec["stride_hw"])
+            x,
+            spec["window"],
+            (st, spec["stride_hw"], spec["stride_hw"]),
+            impl=self.pool_impl,
         )
 
     def _walk_trunk(

@@ -172,6 +172,9 @@ class InceptionModule(nn.Module):
     # pair (ops/pallas/maxpool3d.py) — bypasses XLA's select_and_scatter
     # backward; gradient ties route to all maxima instead of one (see the
     # kernel docstring); bit-identical forward
+    pool_impl: str = "reduce_window"  # 'shift': branch-3 pool as a
+    # separable shifted-slice max chain — elementwise-select VJP instead of
+    # XLA select_and_scatter (see ops/conv.py::max_pool3d_same)
     fuse_pool_conv: bool = False  # whole branch 3 (pool + folded-BN 1x1x1
     # conv + bias + ReLU) as ONE Pallas kernel fwd and ONE bwd
     # (ops/pallas/fused_branch3.py): the pooled tensor never round-trips
@@ -267,6 +270,6 @@ class InceptionModule(nn.Module):
 
                 b3 = pallas_maxpool3d_s1(x)
             else:
-                b3 = max_pool3d_same(x, (3, 3, 3), (1, 1, 1))
+                b3 = max_pool3d_same(x, (3, 3, 3), (1, 1, 1), impl=self.pool_impl)
             b3 = b3b(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)

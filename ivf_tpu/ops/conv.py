@@ -148,16 +148,40 @@ def conv3d_stem_s2d(
 
 
 def max_pool3d_same(
-    x: jax.Array, window: Sequence[int], strides: Sequence[int]
+    x: jax.Array,
+    window: Sequence[int],
+    strides: Sequence[int],
+    impl: str = "reduce_window",
 ) -> jax.Array:
     """Max pool with the reference's zero-padded SAME (I3D_doubled.py:8-40).
 
-    Explicitly zero-pads (matching ``F.pad`` + VALID MaxPool3d), then takes a
-    VALID max reduce-window.
+    ``impl='reduce_window'`` (default): explicit zero-pad (matching
+    ``F.pad`` + VALID MaxPool3d) + VALID max reduce-window. Its VJP is
+    XLA's ``select_and_scatter`` — measured at ~13 GB/s effective on the
+    bench chip (scripts/bench_pool.py), the slowest op class in the mask
+    search.
+
+    ``impl='shift'``: the same pool as a separable chain of shifted-slice
+    ``jnp.maximum`` ops (max over the box == sequential max over dims).
+    Identical forward values; the VJP is fused elementwise selects instead
+    of select_and_scatter. Gradient ties split 0.5/0.5 per pairwise max
+    (JAX ``balanced_eq``) where torch routes to one window element — the
+    same documented deviation class as ops/pallas/maxpool3d.py, opt-in via
+    the models' ``pool_impl`` knob.
     """
     pad = explicit_same_padding(x.shape[1:4], window, strides)
     pad_cfg = ((0, 0),) + tuple(pad) + ((0, 0),)
     x = jnp.pad(x, pad_cfg, mode="constant", constant_values=0.0)
+    if impl == "shift":
+        for d, (w, s) in enumerate(zip(window, strides)):
+            axis = d + 1
+            n_out = (x.shape[axis] - w) // s + 1
+            acc = None
+            for k in range(w):
+                sl = lax.slice_in_dim(x, k, k + (n_out - 1) * s + 1, s, axis)
+                acc = sl if acc is None else jnp.maximum(acc, sl)
+            x = acc
+        return x
     return lax.reduce_window(
         x,
         -jnp.inf,

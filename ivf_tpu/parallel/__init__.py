@@ -5,6 +5,7 @@ from ivf_tpu.parallel.mesh import (
     replicate,
     data_sharding,
     spatial_sharding,
+    tensor_parallel_variables,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "replicate",
     "data_sharding",
     "spatial_sharding",
+    "tensor_parallel_variables",
 ]

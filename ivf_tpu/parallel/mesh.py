@@ -66,3 +66,33 @@ def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree (params) over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def tensor_parallel_variables(
+    variables, mesh: Mesh, axis_name: str = "model"
+):
+    """Megatron-style tensor parallelism, declared to GSPMD: shard every
+    conv/dense kernel's OUTPUT-channel (last) dim over ``axis_name`` when
+    divisible, with the matching bias/BN vectors sharded the same way;
+    everything else replicates. XLA then partitions each conv's output
+    channels across the axis and inserts the collectives (all-gathers where
+    a consumer needs the full channel dim, e.g. pools and the next conv's
+    contraction) over ICI — no manual collective code, per the
+    scaling-book recipe (mesh + annotations -> compiler collectives).
+
+    Use when the per-chip batch is too small to feed data parallelism
+    (e.g. latency-bound single-clip inference) — composes with the 'data'
+    axis of a 2-D mesh from ``get_2d_mesh``.
+    """
+    size = mesh.shape[axis_name]
+
+    def place(path, x):
+        if x.ndim >= 2 and x.shape[-1] % size == 0:
+            spec = P(*([None] * (x.ndim - 1) + [axis_name]))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        # 1-D channel vectors (bias / BN scale/bias/stats) follow the kernel
+        if x.ndim == 1 and x.shape[0] % size == 0:
+            return jax.device_put(x, NamedSharding(mesh, P(axis_name)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map_with_path(place, variables)

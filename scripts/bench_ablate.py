@@ -84,6 +84,35 @@ def main():
         finally:
             mo.perturb_sequence = orig_pert
 
+    if "poolnograd" in which:
+        # keep the pool forward, replace its VJP with identity: isolates the
+        # select_and_scatter backward share (timing only, wrong gradients)
+        import jax as _jax
+
+        @_jax.custom_vjp
+        def pool_id_bwd(x, window, stride):
+            return orig_pool(x, window, stride)
+
+        def _f(x, window, stride):
+            return orig_pool(x, window, stride), None
+
+        def _b(_, g):
+            return (g, None, None)
+
+        pool_id_bwd.defvjp(_f, _b)
+
+        def fake_pool3(x, window, stride, *a, **k):
+            if tuple(stride) == (1, 1, 1):
+                return pool_id_bwd(x, tuple(window), tuple(stride))
+            return orig_pool(x, window, stride, *a, **k)
+
+        conv_mod.max_pool3d_same = fake_pool3
+        try:
+            run, clips, steps = build_run()
+            print(f"poolnograd(branch): {steps/timed(run, clips):.0f} steps/s", flush=True)
+        finally:
+            conv_mod.max_pool3d_same = orig_pool
+
     if "no3x3" in which:
         # center-tap the 3x3x3 convs (1/27 the FLOPs, same shapes) to
         # measure the share of the big Inception branch convs (timing only)

@@ -21,7 +21,8 @@ sys.path.insert(0, "/root/repo")
 
 def build(batch, n_steps, *, dtype="bfloat16", remat=False, fuse_3x3=False,
           clip_bf16=False, use_pallas=False, pallas_pool=False,
-          fuse_pool_conv=False, ckpt_score=False, t=16, hw=224):
+          fuse_pool_conv=False, pool_impl="reduce_window", ckpt_score=False,
+          t=16, hw=224):
     from ivf_tpu.interpret.mask_opt import find_mask
     from ivf_tpu.models import i3d_smth
 
@@ -30,7 +31,7 @@ def build(batch, n_steps, *, dtype="bfloat16", remat=False, fuse_3x3=False,
         stem_s2d=True, fold_bn=True, fuse_1x1=True,
         fuse_3x3=fuse_3x3, remat=remat,
         use_pallas=use_pallas, pallas_pool=pallas_pool,
-        fuse_pool_conv=fuse_pool_conv,
+        fuse_pool_conv=fuse_pool_conv, pool_impl=pool_impl,
     )
     key = jax.random.PRNGKey(0)
     clips = jax.random.normal(key, (batch, t, hw, hw, 3), jnp.float32)
@@ -102,6 +103,13 @@ VARIANTS = {
     "fusedpool_bf16_128": dict(batch=128, fuse_pool_conv=True, clip_bf16=True),
     "fusedpool_64": dict(batch=64, fuse_pool_conv=True),
     "fusedpool_f3_128": dict(batch=128, fuse_pool_conv=True, fuse_3x3=True),
+    # separable shifted-slice max pools: elementwise-select VJP, no
+    # select_and_scatter anywhere in the step
+    "shiftpool_128": dict(batch=128, pool_impl="shift"),
+    "shiftpool_bf16_128": dict(batch=128, pool_impl="shift", clip_bf16=True),
+    "shiftpool_f3_128": dict(batch=128, pool_impl="shift", fuse_3x3=True),
+    "shiftpool_96": dict(batch=96, pool_impl="shift"),
+    "shiftpool_160": dict(batch=160, pool_impl="shift", clip_bf16=True),
 }
 
 

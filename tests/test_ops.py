@@ -414,3 +414,50 @@ def test_fused_pool_conv_matches_xla_composition():
                 np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5,
                 err_msg=f"cotangent {pos} relu={relu}",
             )
+
+
+@pytest.mark.parametrize(
+    "shape,win,st",
+    [
+        ((2, 8, 14, 14, 32), (3, 3, 3), (1, 1, 1)),
+        ((2, 8, 28, 28, 16), (1, 3, 3), (1, 2, 2)),
+        ((2, 8, 14, 14, 16), (3, 3, 3), (2, 2, 2)),
+        ((2, 7, 15, 15, 8), (2, 2, 2), (2, 2, 2)),
+        ((1, 16, 9, 9, 8), (3, 3, 3), (1, 2, 2)),
+    ],
+)
+def test_max_pool3d_shift_impl_matches_reduce_window(shape, win, st):
+    """impl='shift' (separable shifted-slice max chain, elementwise-select
+    VJP) is bit-equal to the reduce_window pool forward and gradient-equal
+    on tie-free data (ops/conv.py)."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    a = max_pool3d_same(x, win, st)
+    b = max_pool3d_same(x, win, st, impl="shift")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    xp = jnp.asarray((rng.rand(*shape) + 0.1).astype(np.float32))
+    g1 = jax.grad(lambda v: jnp.sum(jnp.sin(max_pool3d_same(v, win, st))))(xp)
+    g2 = jax.grad(
+        lambda v: jnp.sum(jnp.sin(max_pool3d_same(v, win, st, impl="shift")))
+    )(xp)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_i3d_pool_impl_shift_matches_baseline():
+    """I3D(pool_impl='shift') forward logits are bit-compatible with the
+    default pools (identical forward math) at inference."""
+    from ivf_tpu.models import i3d_smth
+
+    key = jax.random.PRNGKey(2)
+    clips = jax.random.uniform(key, (2, 16, 64, 64, 3), jnp.float32)
+    kw = dict(num_classes=12, dropout_rate=0.0, softmax=True, pool_shape=(2, 2, 2))
+    base = i3d_smth(**kw)
+    shift = i3d_smth(**kw, pool_impl="shift")
+    v = base.init(key, clips)
+    y0 = base.apply(v, clips, train=False)
+    y1 = shift.apply(v, clips, train=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-5, atol=1e-6)
+    g = jax.grad(lambda c: shift.apply(v, c, train=False)[0, 3])(clips)
+    assert np.all(np.isfinite(np.asarray(g)))

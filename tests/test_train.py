@@ -248,3 +248,28 @@ def test_spatial_model_parallel_i3d_matches_single():
     out = jax.jit(lambda v, x: model.apply(v, x))(v_sh, x_sh)
     assert len(out.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_tensor_parallel_i3d_matches_single():
+    """Megatron-style TP via GSPMD kernel-channel sharding
+    (parallel/mesh.py::tensor_parallel_variables): output matches the
+    single-device forward on a 2x4 data x model mesh."""
+    import jax
+
+    from ivf_tpu.models import i3d_smth
+    from ivf_tpu.parallel import get_2d_mesh, shard_batch, tensor_parallel_variables
+
+    model = i3d_smth(num_classes=8, dropout_rate=0.0, pool_shape=(2, 2, 2))
+    rng = jax.random.PRNGKey(0)
+    clips = jax.random.normal(rng, (4, 16, 64, 64, 3), jnp.float32)
+    v = jax.jit(model.init)(rng, clips[:1])
+    ref = model.apply(v, clips, train=False)
+
+    mesh = get_2d_mesh(2, 4)
+    v_tp = tensor_parallel_variables(v, mesh)
+    clips_s = shard_batch(clips, mesh)
+    out = jax.jit(lambda v, c: model.apply(v, c, train=False))(v_tp, clips_s)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-3, atol=1e-4
+    )
