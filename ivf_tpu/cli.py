@@ -32,6 +32,11 @@ def main(argv=None):
         p.add_argument("--config", "-c", help="config .py (exposing `config`) or .json")
         p.add_argument("--test_run", action="store_true", help="5-step smoke mode")
         p.add_argument("--checkpoint", "-chp", help="checkpoint path")
+        p.add_argument(
+            "--data-parallel", "-dp", type=int, default=0, metavar="N",
+            help="shard batches over an N-chip data mesh (0 = all visible "
+            "devices when more than one; 1 = force single-device)",
+        )
         add_cli_overrides(p)
         return p
 
@@ -80,20 +85,28 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
 
+    def _mesh():
+        import jax
+
+        from ivf_tpu.parallel import get_mesh
+
+        n = getattr(args, "data_parallel", 0) or len(jax.devices())
+        return get_mesh(n) if n > 1 else None
+
     if args.command == "train":
         from ivf_tpu.api import train
 
         cfg = _load_cfg(args)
         if args.checkpoint:
             cfg.model.pretrained_model_path = args.checkpoint
-        train(cfg, eval_only=args.eval_only, resume=args.resume)
+        train(cfg, eval_only=args.eval_only, resume=args.resume, mesh=_mesh())
     elif args.command == "infer":
         from ivf_tpu.api import infer
 
         cfg = _load_cfg(args)
         if args.checkpoint:
             cfg.model.pretrained_model_path = args.checkpoint
-        res = infer(cfg)
+        res = infer(cfg, mesh=_mesh())
         print(
             f"val loss {res['loss']:.4f} top1 {res['top1']:.2f} "
             f"top5 {res['top5']:.2f} (predictions saved)"
@@ -111,6 +124,7 @@ def main(argv=None):
             do_gradcam=not args.no_gradcam,
             run_temp_mask=not args.no_temp_mask,
             max_batches=1 if cfg.test_run else None,
+            mesh=_mesh(),
         )
     elif args.command == "grad-cam":
         import os

@@ -335,3 +335,38 @@ def test_find_masks_kth_filter_no_matches(e2e_cfg):
     finally:
         e2e_cfg.mask.kth_clips_filter = False
     assert tm == [] and gc == []
+
+
+@pytest.mark.slow
+def test_e2e_cli_train_data_parallel(tmp_path):
+    """`train --test_run -dp 8` shards batches over the 8-device virtual
+    mesh from the CLI flag (round-2 addition)."""
+    import json as _json
+
+    from ivf_tpu.cli import main as cli_main
+
+    _make_frame_tree(tmp_path / "data", n_classes=2, clips_per_class=4)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(
+        _json.dumps(
+            {
+                "model_name": "cli_dp",
+                "output_dir": str(tmp_path / "out"),
+                "data_folder": str(tmp_path / "data"),
+                "conv_model": "clstm",
+                "num_classes": 2,
+                "batch_size": 8,
+                "clip_size": 8,
+                "input_spatial_size": 32,
+                "clstm_hidden": 4,
+                "clstm_layers": 1,
+                "conv_stride": 1,
+                "dropout": 0.0,
+                "num_workers": 2,
+                "num_epochs": 1,
+            }
+        )
+    )
+    cli_main(["train", "-c", str(cfg_path), "--test_run", "-dp", "8"])
+    run_dir = os.path.join(str(tmp_path / "out"), "cli_dp")
+    assert os.path.isdir(run_dir)
