@@ -13,9 +13,12 @@ Semantics notes (all verified against the reference):
     where score is the post-softmax class probability (model built with
     softMax=1, line 58).
   * Adam lr=0.2, torch defaults b1=0.9 b2=0.999 eps=1e-8 (line 191).
-  * The reference's early-stop ``abs(oldLoss - loss) < eta`` is DEAD CODE:
-    ``oldLoss`` is initialized to 999999 and never updated (lines 193-214),
-    so all N steps always run. We default to exact-parity behavior
+  * The reference's early-stop ``abs(oldLoss - loss) < eta`` is DEAD CODE
+    in EVERY driver: ``oldLoss`` is initialized to 999999 and never updated
+    (torch: FindMasksComparison_I3D_smth.py:193-214; TF:
+    find_mask_smth.py:385-407 and :430-451), so all N steps always run —
+    the fixed-N vmapped schedule here is exact reference semantics, not an
+    approximation. We default to exact-parity behavior
     (``early_stop=False``) and offer the *intended* semantics
     (``early_stop=True``: per-clip convergence freezing under vmap).
   * central init (mask.py:103-154): candidate masks ones-with-i-edge-zeros
