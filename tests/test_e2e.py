@@ -338,6 +338,37 @@ def test_find_masks_kth_filter_no_matches(e2e_cfg):
 
 
 @pytest.mark.slow
+def test_e2e_find_masks_data_parallel_matches_single(e2e_cfg):
+    """find_masks over a 4-device data mesh returns the same masks/scores
+    as the single-device run (the sharded headline workload end-to-end
+    through the public api, not just dryrun_multichip)."""
+    from ivf_tpu.parallel import get_mesh
+
+    state = test_e2e_train_and_eval.state
+    e2e_cfg.mask.opt_iter = 4
+    tm_single, _ = find_masks(
+        e2e_cfg, state.variables(), max_batches=1, save_viz=False
+    )
+    tm_mesh, _ = find_masks(
+        e2e_cfg,
+        state.variables(),
+        max_batches=1,
+        save_viz=False,
+        mesh=get_mesh(4),
+    )
+    assert len(tm_single) == len(tm_mesh) > 0
+    by_id = {r["video_id"]: r for r in tm_mesh}
+    for r in tm_single:
+        m = by_id[r["video_id"]]
+        np.testing.assert_allclose(
+            m["time_mask"], r["time_mask"], rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            m["freeze_score"], r["freeze_score"], rtol=1e-4, atol=1e-5
+        )
+
+
+@pytest.mark.slow
 def test_e2e_cli_train_data_parallel(tmp_path):
     """`train --test_run -dp 8` shards batches over the 8-device virtual
     mesh from the CLI flag (round-2 addition)."""
