@@ -343,8 +343,10 @@ def infer(cfg: Config, state=None, mesh=None, dataset=None, save_npy=True):
     if save_npy:
         save_dir = _save_dir(cfg)
         # KTH inference reports top-3 (inference_kth.py:10 TOP_X=3) but keeps
-        # the top5 file name (inference_kth.py:178); smth uses real top-5
-        k = 3 if "kth" in cfg.model.conv_model.lower() else 5
+        # the top5 file name (inference_kth.py:178); smth uses real top-5.
+        # Gate on class count so BOTH KTH families hit it (the TF family's
+        # conv_model is plain 'clstm' — configs/config_clstm_kth_records.py)
+        k = 3 if cfg.model.num_classes <= 6 else 5
         np.save(os.path.join(save_dir, "y_true.npy"), res["y_true"])
         np.save(os.path.join(save_dir, "y_hat.npy"), res["y_hat"])
         np.save(

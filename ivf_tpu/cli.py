@@ -33,9 +33,10 @@ def main(argv=None):
         p.add_argument("--test_run", action="store_true", help="5-step smoke mode")
         p.add_argument("--checkpoint", "-chp", help="checkpoint path")
         p.add_argument(
-            "--data-parallel", "-dp", type=int, default=0, metavar="N",
+            "--data-parallel", "-dp", type=int, default=None, metavar="N",
             help="shard batches over an N-chip data mesh (0 = all visible "
-            "devices when more than one; 1 = force single-device)",
+            "devices; omit for single-device — batch_size must divide "
+            "evenly across N)",
         )
         add_cli_overrides(p)
         return p
@@ -86,11 +87,17 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     def _mesh():
+        # Meshes are strictly opt-in: without -dp the run is single-device
+        # (a silent auto-mesh would crash whenever batch_size doesn't divide
+        # the visible device count).
+        n = getattr(args, "data_parallel", None)
+        if n is None:
+            return None
         import jax
 
         from ivf_tpu.parallel import get_mesh
 
-        n = getattr(args, "data_parallel", 0) or len(jax.devices())
+        n = n or len(jax.devices())
         return get_mesh(n) if n > 1 else None
 
     if args.command == "train":
@@ -127,57 +134,25 @@ def main(argv=None):
             mesh=_mesh(),
         )
     elif args.command == "grad-cam":
-        import os
-        import pickle
-
-        import numpy as np
-
-        from ivf_tpu.api import (
-            _save_dir,
-            build_dataset,
-            build_loader,
-            grad_cam_run,
-            init_eval_state,
-        )
+        # The CAM-only pass IS find_masks without the mask search: same
+        # clip filters (class_oi / subset_file / kth whitelist / min_score),
+        # same jitted batched-CAM path, same pickle artifact.
+        from ivf_tpu.api import find_masks, init_eval_state
 
         cfg = _load_cfg(args)
         if args.checkpoint:
             cfg.model.pretrained_model_path = args.checkpoint
         _, state = init_eval_state(cfg, softmax_override=True)
-        variables = state.variables()
-        dataset = build_dataset(cfg, "validation", get_item_id=True)
-        loader = build_loader(cfg, dataset, False)
-        results = []
-        for bidx, batch in enumerate(loader):
-            if cfg.test_run and bidx >= 1:
-                break
-            clips, labels, ids = (
-                batch if len(batch) == 3 else (*batch, None)
-            )
-            labels = np.asarray(labels)
-            ids = (
-                ids
-                if ids is not None
-                else [f"b{bidx}_{i}" for i in range(len(labels))]
-            )
-            targets = None if cfg.mask.grad_cam_type == "guessed" else labels
-            cams = grad_cam_run(cfg, variables, np.asarray(clips), targets)
-            for j in range(len(labels)):
-                results.append(
-                    {
-                        "true_class": int(labels[j]),
-                        "video_id": ids[j],
-                        "GCHeatMap": cams[j],
-                    }
-                )
-        out = os.path.join(_save_dir(cfg), "results")
-        os.makedirs(out, exist_ok=True)
-        path = os.path.join(
-            out, f"allGradCamResults_{cfg.model_name}_{cfg.mask.class_oi}_.p"
+        _, gc_results = find_masks(
+            cfg,
+            state.variables(),
+            do_gradcam=True,
+            run_temp_mask=False,
+            save_viz=False,
+            max_batches=1 if cfg.test_run else None,
+            mesh=_mesh(),
         )
-        with open(path, "wb") as f:
-            pickle.dump(results, f)
-        print(f"grad-cam: {len(results)} clips -> {path}")
+        print(f"grad-cam: {len(gc_results)} clips (results pickled)")
     elif args.command == "make-records":
         _make_records(args)
     elif args.command == "inspect-records":

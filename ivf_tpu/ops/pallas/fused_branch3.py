@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ivf_tpu.ops.pallas.maxpool3d import _eq, _gather9, _hw_max9, _shift
+from ivf_tpu.ops.pallas.maxpool3d import _eq, _gather9, _hw_max9
 
 _LANES = 128
 

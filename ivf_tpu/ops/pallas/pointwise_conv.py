@@ -38,23 +38,29 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _pw_conv(x: jax.Array, w: jax.Array, bias: jax.Array, relu: bool):
-    return _pw_impl(x, w, bias, relu)
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _pw_conv(
+    x: jax.Array,
+    w: jax.Array,
+    bias: jax.Array,
+    relu: bool,
+    interpret: Optional[bool],
+):
+    return _pw_impl(x, w, bias, relu, interpret)
 
 
-def _pw_fwd(x, w, bias, relu):
-    y = _pw_impl(x, w, bias, relu)
-    return y, (x, w, y if relu else None)
+def _pw_fwd(x, w, bias, relu, interpret):
+    y = _pw_impl(x, w, bias, relu, interpret)
+    return y, (x, w, y if relu else None, bias)
 
 
-def _pw_bwd(relu, res, g):
+def _pw_bwd(relu, interpret, res, g):
     """VJP: m = g * (y > 0); dx = m @ w.T (via the same Pallas kernel);
     dw = x.T @ m; db = sum(m). Model params are usually closed-over
     constants (the mask search), so dw/db get dead-code-eliminated."""
-    x, w, y = res
+    x, w, y, bias = res
     m = jnp.where(y > 0, g, 0) if relu else g
-    dx = _pw_impl(m, w.T, None, False)
+    dx = _pw_impl(m, w.T, None, False, interpret)
     cin, cout = w.shape
     n = 1
     for d in x.shape[:-1]:
@@ -65,7 +71,7 @@ def _pw_bwd(relu, res, g):
         m.reshape(n, cout).astype(jnp.float32),
     ).astype(w.dtype)
     db = jnp.sum(m.reshape(n, cout).astype(jnp.float32), axis=0).astype(
-        m.dtype
+        bias.dtype  # cotangent dtype must match the bias primal, not g
     )
     return dx, dw, db
 
@@ -84,20 +90,22 @@ def pallas_pointwise_conv(
     Returns (..., Cout) with the same leading shape. Differentiable via a
     custom VJP (the dx path reuses the kernel with w.T).
 
-    ``interpret`` is accepted for test compatibility; the kernel decides
-    automatically (Pallas interpreter off-TPU)."""
+    ``interpret``: None (default) auto-selects — Pallas interpreter
+    off-TPU, compiled kernel on TPU; an explicit True/False overrides."""
     b = bias if bias is not None else jnp.zeros((w.shape[1],), x.dtype)
-    return _pw_conv(x, w, b, relu)
+    return _pw_conv(x, w, b, relu, interpret)
 
 
-@partial(jax.jit, static_argnames=("relu",))
+@partial(jax.jit, static_argnames=("relu", "interpret"))
 def _pw_impl(
     x: jax.Array,
     w: jax.Array,
     bias: Optional[jax.Array],
     relu: bool,
+    interpret: Optional[bool] = None,
 ) -> jax.Array:
-    interpret = jax.default_backend() not in ("tpu", "axon")
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
     lead = x.shape[:-1]
     cin, cout = w.shape
     n = 1
