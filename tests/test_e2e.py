@@ -270,6 +270,67 @@ def test_i3d_find_masks_end_to_end(tmp_path):
     assert np.isfinite(gc[0]["GCHeatMap"]).all()
 
 
+@pytest.mark.slow
+def test_kth_find_masks_writes_perturbed_seq_viz(tmp_path):
+    """The KTH driver additionally renders the perturbed sequence itself
+    (FindMasksComparison_I3D_KTH.py:362-366): find_masks with a 'kth' model
+    family + save_viz writes PerturbImgs/case<tag>pert<i>.png."""
+    import jax
+    import jax.numpy as jnp
+
+    # KTH numbered-dir layout: root/<idx>/frameNN.jpg + class.txt/label.txt
+    # (conv_model containing 'kth' routes build_dataset to KTHFrameDataset)
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    data_root = tmp_path / "data"
+    for idx in range(2):
+        d = data_root / str(idx)
+        d.mkdir(parents=True)
+        for i in range(16):
+            arr = rng.randint(0, 100, (64, 64, 3)) + (idx % 2) * 120
+            Image.fromarray(arr.astype(np.uint8)).save(
+                str(d / f"frame{i+1:02d}.jpg"), "JPEG"
+            )
+        (d / "class.txt").write_text(f"{idx % 2}\n")
+        (d / "label.txt").write_text(f"person{idx:02d}_boxing_d1_1\n")
+    cfg = Config()
+    cfg.output_dir = str(tmp_path / "out")
+    cfg.model_name = "i3d_kth_viz"
+    cfg.data.data_folder = str(data_root)
+    cfg.model.conv_model = "i3d_kth"
+    cfg.model.num_classes = 2
+    cfg.model.dropout = 0.0
+    cfg.data.clip_size = 16
+    cfg.data.input_spatial_size = 64
+    cfg.data.batch_size = 2
+    cfg.data.num_workers = 1
+    cfg.mask.opt_iter = 2
+
+    model = build_model(cfg, softmax_override=True).clone(pool_shape=(2, 2, 2))
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 64, 3))
+    )
+    import ivf_tpu.api as api_mod
+
+    orig = api_mod.build_model
+    api_mod.build_model = lambda cfg, softmax_override=None: model
+    try:
+        tm, _gc = api_mod.find_masks(
+            cfg, variables, max_batches=1, save_viz=True
+        )
+    finally:
+        api_mod.build_model = orig
+    assert tm
+    pert_pngs = []
+    for dirpath, _dirs, files in os.walk(
+        os.path.join(cfg.output_dir, cfg.model_name, "cam_saved_images")
+    ):
+        if dirpath.endswith("PerturbImgs"):
+            pert_pngs += [f for f in files if f.endswith(".png")]
+    assert len(pert_pngs) >= 16  # one per frame for at least one clip
+
+
 def test_make_records_edge_cases(tmp_path):
     """Stray jpgs, gaps, single-frame and empty clip dirs don't break
     make-records (code-review regression)."""
