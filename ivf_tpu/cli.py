@@ -38,6 +38,17 @@ def main(argv=None):
             "devices; omit for single-device — batch_size must divide "
             "evenly across N)",
         )
+        p.add_argument(
+            "--profile", metavar="DIR", default=None,
+            help="write a jax.profiler trace (TensorBoard-loadable) of the "
+            "whole run to DIR",
+        )
+        p.add_argument(
+            "--detect-anomaly", action="store_true",
+            help="NaN sanitizer: re-run the offending op un-jitted and "
+            "raise at the source (torch.autograd.detect_anomaly analogue; "
+            "the reference mask drivers run under it)",
+        )
         add_cli_overrides(p)
         return p
 
@@ -86,6 +97,18 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
 
+    import contextlib
+
+    aux_ctx = contextlib.ExitStack()
+    if getattr(args, "profile", None):
+        from ivf_tpu.utils.profiling import trace
+
+        aux_ctx.enter_context(trace(args.profile))
+    if getattr(args, "detect_anomaly", False):
+        from ivf_tpu.utils.profiling import detect_anomaly
+
+        aux_ctx.enter_context(detect_anomaly(True))
+
     def _mesh():
         # Meshes are strictly opt-in: without -dp the run is single-device
         # (a silent auto-mesh would crash whenever batch_size doesn't divide
@@ -100,92 +123,95 @@ def main(argv=None):
         n = n or len(jax.devices())
         return get_mesh(n) if n > 1 else None
 
-    if args.command == "train":
-        from ivf_tpu.api import train
+    try:
+        if args.command == "train":
+            from ivf_tpu.api import train
 
-        cfg = _load_cfg(args)
-        if args.checkpoint:
-            cfg.model.pretrained_model_path = args.checkpoint
-        train(cfg, eval_only=args.eval_only, resume=args.resume, mesh=_mesh())
-    elif args.command == "infer":
-        from ivf_tpu.api import infer
+            cfg = _load_cfg(args)
+            if args.checkpoint:
+                cfg.model.pretrained_model_path = args.checkpoint
+            train(cfg, eval_only=args.eval_only, resume=args.resume, mesh=_mesh())
+        elif args.command == "infer":
+            from ivf_tpu.api import infer
 
-        cfg = _load_cfg(args)
-        if args.checkpoint:
-            cfg.model.pretrained_model_path = args.checkpoint
-        res = infer(cfg, mesh=_mesh())
-        print(
-            f"val loss {res['loss']:.4f} top1 {res['top1']:.2f} "
-            f"top5 {res['top5']:.2f} (predictions saved)"
-        )
-    elif args.command == "find-masks":
-        from ivf_tpu.api import find_masks, init_eval_state
+            cfg = _load_cfg(args)
+            if args.checkpoint:
+                cfg.model.pretrained_model_path = args.checkpoint
+            res = infer(cfg, mesh=_mesh())
+            print(
+                f"val loss {res['loss']:.4f} top1 {res['top1']:.2f} "
+                f"top5 {res['top5']:.2f} (predictions saved)"
+            )
+        elif args.command == "find-masks":
+            from ivf_tpu.api import find_masks, init_eval_state
 
-        cfg = _load_cfg(args)
-        if args.checkpoint:
-            cfg.model.pretrained_model_path = args.checkpoint
-        _, state = init_eval_state(cfg, softmax_override=True)
-        find_masks(
-            cfg,
-            state.variables(),
-            do_gradcam=not args.no_gradcam,
-            run_temp_mask=not args.no_temp_mask,
-            max_batches=1 if cfg.test_run else None,
-            mesh=_mesh(),
-        )
-    elif args.command == "grad-cam":
-        # The CAM-only pass IS find_masks without the mask search: same
-        # clip filters (class_oi / subset_file / kth whitelist / min_score),
-        # same jitted batched-CAM path, same pickle artifact.
-        from ivf_tpu.api import find_masks, init_eval_state
+            cfg = _load_cfg(args)
+            if args.checkpoint:
+                cfg.model.pretrained_model_path = args.checkpoint
+            _, state = init_eval_state(cfg, softmax_override=True)
+            find_masks(
+                cfg,
+                state.variables(),
+                do_gradcam=not args.no_gradcam,
+                run_temp_mask=not args.no_temp_mask,
+                max_batches=1 if cfg.test_run else None,
+                mesh=_mesh(),
+            )
+        elif args.command == "grad-cam":
+            # The CAM-only pass IS find_masks without the mask search: same
+            # clip filters (class_oi / subset_file / kth whitelist / min_score),
+            # same jitted batched-CAM path, same pickle artifact.
+            from ivf_tpu.api import find_masks, init_eval_state
 
-        cfg = _load_cfg(args)
-        if args.checkpoint:
-            cfg.model.pretrained_model_path = args.checkpoint
-        _, state = init_eval_state(cfg, softmax_override=True)
-        _, gc_results = find_masks(
-            cfg,
-            state.variables(),
-            do_gradcam=True,
-            run_temp_mask=False,
-            save_viz=False,
-            max_batches=1 if cfg.test_run else None,
-            mesh=_mesh(),
-        )
-        print(f"grad-cam: {len(gc_results)} clips (results pickled)")
-    elif args.command == "make-records":
-        _make_records(args)
-    elif args.command == "inspect-records":
-        # manual data-verification utility (tfrecords/inspect_tfrecords.py)
-        from ivf_tpu.data.records import RecordReader
+            cfg = _load_cfg(args)
+            if args.checkpoint:
+                cfg.model.pretrained_model_path = args.checkpoint
+            _, state = init_eval_state(cfg, softmax_override=True)
+            _, gc_results = find_masks(
+                cfg,
+                state.variables(),
+                do_gradcam=True,
+                run_temp_mask=False,
+                save_viz=False,
+                max_batches=1 if cfg.test_run else None,
+                mesh=_mesh(),
+            )
+            print(f"grad-cam: {len(gc_results)} clips (results pickled)")
+        elif args.command == "make-records":
+            _make_records(args)
+        elif args.command == "inspect-records":
+            # manual data-verification utility (tfrecords/inspect_tfrecords.py)
+            from ivf_tpu.data.records import RecordReader
 
-        r = RecordReader(args.path)
-        meta, frames = r.read(args.index)
-        print(f"{len(r)} records in {args.path}")
-        print(f"record[{args.index}] meta: {meta}")
-        print(
-            f"frames: {frames.shape} dtype {frames.dtype} "
-            f"min {frames.min()} max {frames.max()}"
-        )
-    elif args.command == "make-kth-records":
-        from ivf_tpu.data.kth import write_kth_subject_records
+            r = RecordReader(args.path)
+            meta, frames = r.read(args.index)
+            print(f"{len(r)} records in {args.path}")
+            print(f"record[{args.index}] meta: {meta}")
+            print(
+                f"frames: {frames.shape} dtype {frames.dtype} "
+                f"min {frames.min()} max {frames.max()}"
+            )
+        elif args.command == "make-kth-records":
+            from ivf_tpu.data.kth import write_kth_subject_records
 
-        paths = write_kth_subject_records(
-            args.labels_csv,
-            args.frames_root,
-            args.out,
-            mode=args.mode,
-            nb_frames=args.nb_frames,
-        )
-        print(f"wrote {len(paths)} subject shards to {args.out}")
-    elif args.command == "extract-frames":
-        from ivf_tpu.data.catalogs import SmthSmthCatalog
-        from ivf_tpu.data.frames import extract_dataset
+            paths = write_kth_subject_records(
+                args.labels_csv,
+                args.frames_root,
+                args.out,
+                mode=args.mode,
+                nb_frames=args.nb_frames,
+            )
+            print(f"wrote {len(paths)} subject shards to {args.out}")
+        elif args.command == "extract-frames":
+            from ivf_tpu.data.catalogs import SmthSmthCatalog
+            from ivf_tpu.data.frames import extract_dataset
 
-        cat = SmthSmthCatalog(
-            args.json_input, args.json_labels, args.video_root, ".webm"
-        )
-        extract_dataset(cat.items, args.out_root, args.nb_frames, args.width)
+            cat = SmthSmthCatalog(
+                args.json_input, args.json_labels, args.video_root, ".webm"
+            )
+            extract_dataset(cat.items, args.out_root, args.nb_frames, args.width)
+    finally:
+        aux_ctx.close()
 
 
 def _make_records(args):

@@ -430,6 +430,54 @@ def test_e2e_find_masks_data_parallel_matches_single(e2e_cfg):
 
 
 @pytest.mark.slow
+def test_e2e_cli_train_profile_and_anomaly(tmp_path):
+    """--profile writes a TensorBoard-loadable jax.profiler trace;
+    --detect-anomaly toggles the NaN sanitizer for the run (SURVEY.md §5
+    aux subsystems, reachable from the CLI)."""
+    import json as _json
+
+    from ivf_tpu.cli import main as cli_main
+
+    _make_frame_tree(tmp_path / "data", n_classes=2, clips_per_class=2)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(
+        _json.dumps(
+            {
+                "model_name": "cli_prof",
+                "output_dir": str(tmp_path / "out"),
+                "data_folder": str(tmp_path / "data"),
+                "conv_model": "clstm",
+                "num_classes": 2,
+                "batch_size": 4,
+                "clip_size": 8,
+                "input_spatial_size": 32,
+                "clstm_hidden": 4,
+                "clstm_layers": 1,
+                "conv_stride": 1,
+                "dropout": 0.0,
+                "num_workers": 2,
+                "num_epochs": 1,
+            }
+        )
+    )
+    prof_dir = str(tmp_path / "trace")
+    cli_main(
+        [
+            "train", "-c", str(cfg_path), "--test_run",
+            "--profile", prof_dir, "--detect-anomaly",
+        ]
+    )
+    trace_files = []
+    for dirpath, _dirs, files in os.walk(prof_dir):
+        trace_files += [f for f in files if f.endswith((".pb", ".json.gz", ".trace.json.gz", ".xplane.pb"))]
+    assert trace_files, f"no profiler artifacts under {prof_dir}"
+    # the sanitizer must have been restored after the run
+    import jax
+
+    assert not jax.config.jax_debug_nans
+
+
+@pytest.mark.slow
 def test_e2e_cli_train_data_parallel(tmp_path):
     """`train --test_run -dp 8` shards batches over the 8-device virtual
     mesh from the CLI flag (round-2 addition)."""
