@@ -1,6 +1,8 @@
 from ivf_tpu.parallel.mesh import (
     get_mesh,
     get_2d_mesh,
+    get_multislice_mesh,
+    multislice_sharding,
     shard_batch,
     replicate,
     data_sharding,
@@ -11,6 +13,8 @@ from ivf_tpu.parallel.mesh import (
 __all__ = [
     "get_mesh",
     "get_2d_mesh",
+    "get_multislice_mesh",
+    "multislice_sharding",
     "shard_batch",
     "replicate",
     "data_sharding",

@@ -68,6 +68,30 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def get_multislice_mesh(
+    n_slices: int,
+    chips_per_slice: int,
+    axis_names: Sequence[str] = ("slice", "data"),
+) -> Mesh:
+    """2-level (slice x chip) mesh for multi-slice pods: the outer axis
+    crosses DCN, the inner axis rides a slice's ICI. Batches shard over
+    BOTH axes (``multislice_sharding``); XLA's gradient psum then reduces
+    within each slice over ICI first and across slices over DCN once —
+    the hierarchical all-reduce falls out of the mesh axis ordering, no
+    manual comms. Device order must be slice-major (``jax.devices()``
+    already is on multi-slice deployments)."""
+    devices = jax.devices()
+    n = n_slices * chips_per_slice
+    assert len(devices) >= n, (len(devices), n_slices, chips_per_slice)
+    grid = np.asarray(devices[:n]).reshape(n_slices, chips_per_slice)
+    return Mesh(grid, tuple(axis_names))
+
+
+def multislice_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading clip/batch axis jointly over (slice, data)."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
+
+
 def tensor_parallel_variables(
     variables, mesh: Mesh, axis_name: str = "model"
 ):

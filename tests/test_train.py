@@ -224,6 +224,51 @@ def test_data_parallel_8_devices_matches_single():
     )
 
 
+def test_multislice_data_parallel_matches_single():
+    """2-slice x 4-chip hierarchical mesh: batch sharded over BOTH axes
+    gives the identical loss/updates as single device — the multi-slice
+    (DCN) data-parallel mode; the hierarchical all-reduce is implied by
+    the mesh axis ordering."""
+    from ivf_tpu.parallel import get_multislice_mesh, multislice_sharding
+
+    assert jax.device_count() >= 8
+    model = ConvLSTMClassifier(
+        num_classes=3,
+        nb_lstm_units=4,
+        lstm_layers=1,
+        conv_kernel_size=3,
+        effective_steps=(3,),
+        batch_norm=False,
+    )
+    clips, labels = _synthetic_clips(16)
+    tx = build_optimizer("adam", 0.01)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.asarray(clips[:2]), tx
+    )
+    train_step = make_train_step(donate=False)
+    rng = jax.random.PRNGKey(1)
+
+    mesh = get_multislice_mesh(2, 4)
+    state_r = replicate(state, mesh)
+    sh = multislice_sharding(mesh)
+    clips_s = jax.device_put(jnp.asarray(clips), sh)
+    labels_s = jax.device_put(jnp.asarray(labels), sh)
+    new_sharded, m_sharded = train_step(state_r, clips_s, labels_s, rng)
+    new_single, m_single = train_step(
+        state, jnp.asarray(clips), jnp.asarray(labels), rng
+    )
+    np.testing.assert_allclose(
+        float(m_sharded["loss"]), float(m_single["loss"]), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        new_sharded.params,
+        new_single.params,
+    )
+
+
 @pytest.mark.slow
 def test_spatial_model_parallel_i3d_matches_single():
     """H-axis (model) sharding over a 2x4 mesh == single device (GSPMD
