@@ -1,0 +1,106 @@
+"""Golden parity ON THE REAL TPU: reference torch I3D/ConvLSTM (CPU, f64-
+grade libjpeg-free path) vs ivf_tpu models with importer-synced weights
+executing on the attached chip.
+
+The pytest suite pins parity on the CPU backend (tests/test_models.py);
+this script closes the last gap — the bench hardware itself — and records
+the deviation at both f32 and the bench's bf16 weights.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/tpu_parity_check.py
+"""
+
+import importlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference/video_features_pytorch"
+
+
+def rel_err(a, b):
+    """Max abs error normalized by the output scale (near-zero logits make
+    raw elementwise relative error meaningless)."""
+    return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-12))
+
+
+def main():
+    sys.path.insert(0, REF)
+    from ivf_tpu.models import i3d_kth, ConvLSTMClassifier
+    from ivf_tpu.utils.import_torch import (
+        convlstm_state_dict_to_variables,
+        i3d_state_dict_to_variables,
+    )
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}")
+
+    # --- I3D (KTH head) ---
+    ref_mod = importlib.import_module("models.I3D_doubled_kth")
+    torch.manual_seed(0)
+    ref = ref_mod.Model(
+        num_classes=6, finalTimeLength=2, dropout_keep_prob=0.0, stride_mod_layers=""
+    )
+    ref.eval()
+    variables = i3d_state_dict_to_variables(ref.state_dict())
+    model = i3d_kth(num_classes=6, final_time_length=2, dropout_rate=0.0)
+
+    torch.manual_seed(1)
+    x_t = torch.randn(2, 3, 16, 120, 160)
+    with torch.no_grad():
+        ref_out = ref(x_t).numpy()
+    x_j = jnp.asarray(x_t.numpy().transpose(0, 2, 3, 4, 1))
+
+    out_f32 = np.asarray(jax.jit(lambda v, x: model.apply(v, x))(variables, x_j))
+    print(f"I3D f32 : max rel err {rel_err(out_f32, ref_out):.2e}")
+
+    v_bf16 = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, variables
+    )
+    out_bf16 = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x))(v_bf16, x_j)
+    ).astype(np.float32)
+    print(f"I3D bf16: max rel err {rel_err(out_bf16, ref_out):.2e}")
+
+    # --- ConvLSTM ---
+    clstm_mod = importlib.import_module("models.CLSTM_4")
+    torch.manual_seed(0)
+    geom = dict(
+        image_size=(32, 32), conv_stride=1, pool_kernel=(2, 2),
+        lstm_layers=2, nb_lstm_units=4,
+    )
+    ref_c = clstm_mod.Model(
+        num_classes=6, nb_lstm_units=4, lstm_layers=2, conv_kernel_size=(5, 5),
+        pool_kernel_size=(2, 2), step=8, image_size=(32, 32), conv_stride=1,
+        effective_step=[3, 7], batch_normalization=True, dropout=0,
+    )
+    ref_c.eval()
+    vc = convlstm_state_dict_to_variables(ref_c.state_dict(), **geom)
+    mc = ConvLSTMClassifier(
+        num_classes=6, nb_lstm_units=4, lstm_layers=2, conv_kernel_size=5,
+        conv_stride=1, pool_kernel=(2, 2), effective_steps=(3, 7),
+        batch_norm=True, shared_bn=True, dropout_rate=0.0,
+    )
+    torch.manual_seed(2)
+    xc_t = torch.randn(2, 3, 8, 32, 32)  # reference expects (B,C,T,H,W)
+    with torch.no_grad():
+        ref_c_out = ref_c(xc_t).numpy()
+    xc_j = jnp.asarray(xc_t.numpy().transpose(0, 2, 3, 4, 1))
+    out_c = np.asarray(
+        jax.jit(lambda v, x: mc.apply(v, x, train=False))(vc, xc_j)
+    )
+    print(f"CLSTM f32: max rel err {rel_err(out_c, ref_c_out):.2e}")
+
+    ok = rel_err(out_f32, ref_out) < 2e-2 and rel_err(out_c, ref_c_out) < 2e-2
+    print("PARITY OK" if ok else "PARITY FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
