@@ -364,8 +364,11 @@ def find_masks(
     save_viz: bool = True,
     max_batches: Optional[int] = None,
     mesh=None,
+    split: str = "validation",
 ):
     """Temporal-mask search + Grad-CAM over the validation set — vmapped.
+    ``split='train'`` mirrors the reference's ``--train`` flag (utils.py:43:
+    "use train data instead of validation").
 
     Returns (time_mask_results, grad_cam_results) lists of per-clip dicts
     with the reference's key names (FindMasksComparison_I3D_smth.py:243-251,
@@ -376,7 +379,7 @@ def find_masks(
 
     model = build_model(cfg, softmax_override=True)
     mk = cfg.mask
-    dataset = dataset or build_dataset(cfg, "validation", get_item_id=True)
+    dataset = dataset or build_dataset(cfg, split, get_item_id=True)
     loader = build_loader(cfg, dataset, False, mesh)
 
     if cfg.model.compute_dtype == "bfloat16":

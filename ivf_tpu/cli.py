@@ -60,7 +60,14 @@ def main(argv=None):
     p = common(sub.add_parser("find-masks"))
     p.add_argument("--no-gradcam", action="store_true")
     p.add_argument("--no-temp-mask", action="store_true")
-    common(sub.add_parser("grad-cam"))
+    p.add_argument(
+        "--train", "-tr", action="store_true",
+        help="run on the train split instead of validation (utils.py:43)",
+    )
+    common(sub.add_parser("grad-cam")).add_argument(
+        "--train", "-tr", action="store_true",
+        help="run on the train split instead of validation",
+    )
 
     p = sub.add_parser("make-records")
     p.add_argument("--frames-root", required=True, help="root of frame dirs")
@@ -156,6 +163,7 @@ def main(argv=None):
                 run_temp_mask=not args.no_temp_mask,
                 max_batches=1 if cfg.test_run else None,
                 mesh=_mesh(),
+                split="train" if args.train else "validation",
             )
         elif args.command == "grad-cam":
             # The CAM-only pass IS find_masks without the mask search: same
@@ -175,6 +183,7 @@ def main(argv=None):
                 save_viz=False,
                 max_batches=1 if cfg.test_run else None,
                 mesh=_mesh(),
+                split="train" if args.train else "validation",
             )
             print(f"grad-cam: {len(gc_results)} clips (results pickled)")
         elif args.command == "make-records":

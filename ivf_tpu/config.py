@@ -334,10 +334,15 @@ _OVERRIDES = [
 def add_cli_overrides(parser: argparse.ArgumentParser):
     for flag, short, _dest, typ in _OVERRIDES:
         parser.add_argument(flag, short, type=typ, default=None)
+    # model-name suffix (utils.py:23 '--iteration'; applied as
+    # config['model_name'] += str(args.iteration), train_clstm_kth.py:37)
+    parser.add_argument("--iteration", "-i", default=None)
     return parser
 
 
 def apply_cli_overrides(cfg: Config, args: argparse.Namespace) -> Config:
+    if getattr(args, "iteration", None) is not None:
+        cfg.model_name = cfg.model_name + str(args.iteration)
     for flag, _short, dest, _typ in _OVERRIDES:
         name = flag.lstrip("-")
         val = getattr(args, name, None)

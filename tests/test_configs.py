@@ -201,3 +201,24 @@ def test_patience_halving_reference_exact():
     assert s.step(0.50005) == 0.05
     assert s.step(0.50005) == 0.05
     assert s.monitor == "accuracy"
+
+
+def test_iteration_suffix_and_train_split_flags():
+    """--iteration suffixes model_name (utils.py:23, train_clstm_kth.py:37);
+    find-masks --train selects the train split (utils.py:43)."""
+    import argparse
+    import inspect
+
+    from ivf_tpu.api import find_masks
+    from ivf_tpu.config import Config, add_cli_overrides, apply_cli_overrides
+
+    parser = argparse.ArgumentParser()
+    add_cli_overrides(parser)
+    args = parser.parse_args(["-i", "3", "-l1", "0.5"])
+    cfg = Config()
+    base = cfg.model_name
+    cfg = apply_cli_overrides(cfg, args)
+    assert cfg.model_name == base + "3"
+    assert cfg.mask.lam1 == 0.5
+
+    assert inspect.signature(find_masks).parameters["split"].default == "validation"

@@ -166,7 +166,7 @@ def test_e2e_cli_grad_cam(tmp_path):
             }
         )
     )
-    cli_main(["grad-cam", "-c", str(cfg_path), "--test_run"])
+    cli_main(["grad-cam", "-c", str(cfg_path), "--test_run", "--train"])
     results = os.path.join(str(tmp_path / "out"), "cli_gc", "results")
     pickles = [f for f in os.listdir(results) if "allGradCamResults" in f]
     assert pickles
