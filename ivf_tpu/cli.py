@@ -130,62 +130,51 @@ def main(argv=None):
         n = n or len(jax.devices())
         return get_mesh(n) if n > 1 else None
 
+    def _cfg_with_ckpt():
+        cfg = _load_cfg(args)
+        if args.checkpoint:
+            cfg.model.pretrained_model_path = args.checkpoint
+        return cfg
+
     try:
         if args.command == "train":
             from ivf_tpu.api import train
 
-            cfg = _load_cfg(args)
-            if args.checkpoint:
-                cfg.model.pretrained_model_path = args.checkpoint
-            train(cfg, eval_only=args.eval_only, resume=args.resume, mesh=_mesh())
+            train(
+                _cfg_with_ckpt(),
+                eval_only=args.eval_only,
+                resume=args.resume,
+                mesh=_mesh(),
+            )
         elif args.command == "infer":
             from ivf_tpu.api import infer
 
-            cfg = _load_cfg(args)
-            if args.checkpoint:
-                cfg.model.pretrained_model_path = args.checkpoint
-            res = infer(cfg, mesh=_mesh())
+            res = infer(_cfg_with_ckpt(), mesh=_mesh())
             print(
                 f"val loss {res['loss']:.4f} top1 {res['top1']:.2f} "
                 f"top5 {res['top5']:.2f} (predictions saved)"
             )
-        elif args.command == "find-masks":
-            from ivf_tpu.api import find_masks, init_eval_state
-
-            cfg = _load_cfg(args)
-            if args.checkpoint:
-                cfg.model.pretrained_model_path = args.checkpoint
-            _, state = init_eval_state(cfg, softmax_override=True)
-            find_masks(
-                cfg,
-                state.variables(),
-                do_gradcam=not args.no_gradcam,
-                run_temp_mask=not args.no_temp_mask,
-                max_batches=1 if cfg.test_run else None,
-                mesh=_mesh(),
-                split="train" if args.train else "validation",
-            )
-        elif args.command == "grad-cam":
-            # The CAM-only pass IS find_masks without the mask search: same
-            # clip filters (class_oi / subset_file / kth whitelist / min_score),
+        elif args.command in ("find-masks", "grad-cam"):
+            # grad-cam IS find_masks without the mask search: same clip
+            # filters (class_oi / subset_file / kth whitelist / min_score),
             # same jitted batched-CAM path, same pickle artifact.
             from ivf_tpu.api import find_masks, init_eval_state
 
-            cfg = _load_cfg(args)
-            if args.checkpoint:
-                cfg.model.pretrained_model_path = args.checkpoint
+            cfg = _cfg_with_ckpt()
             _, state = init_eval_state(cfg, softmax_override=True)
+            cam_only = args.command == "grad-cam"
             _, gc_results = find_masks(
                 cfg,
                 state.variables(),
-                do_gradcam=True,
-                run_temp_mask=False,
-                save_viz=False,
+                do_gradcam=cam_only or not args.no_gradcam,
+                run_temp_mask=not cam_only and not args.no_temp_mask,
+                save_viz=not cam_only,
                 max_batches=1 if cfg.test_run else None,
                 mesh=_mesh(),
                 split="train" if args.train else "validation",
             )
-            print(f"grad-cam: {len(gc_results)} clips (results pickled)")
+            if cam_only:
+                print(f"grad-cam: {len(gc_results)} clips (results pickled)")
         elif args.command == "make-records":
             _make_records(args)
         elif args.command == "inspect-records":

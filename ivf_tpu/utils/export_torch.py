@@ -94,6 +94,8 @@ def convlstm_variables_to_state_dict(
     geometry arguments, used to re-permute the FC weight back to torch's
     (C, H', W') flatten order).
     """
+    import torch
+
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     sd: Dict[str, Any] = {}
@@ -114,8 +116,6 @@ def convlstm_variables_to_state_dict(
             sd[f"clstm.cell{ci}.Wh{g}.weight"] = _t(wh_g.transpose(3, 2, 0, 1))
 
     if "bn" in clstm:
-        import torch
-
         sd["clstm.bn.weight"] = _t(clstm["bn"]["scale"])
         sd["clstm.bn.bias"] = _t(clstm["bn"]["bias"])
         sd["clstm.bn.running_mean"] = _t(stats["clstm"]["bn"]["mean"])

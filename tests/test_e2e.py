@@ -179,6 +179,46 @@ def test_e2e_cli_grad_cam(tmp_path):
 
 
 @pytest.mark.slow
+def test_e2e_cli_find_masks(tmp_path):
+    """`find-masks --test_run` through the CLI writes both result pickles
+    (temp-mask search ran, not just the CAM pass)."""
+    import json as _json
+    import pickle
+
+    from ivf_tpu.cli import main as cli_main
+
+    _make_frame_tree(tmp_path / "data", n_classes=2, clips_per_class=2)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(
+        _json.dumps(
+            {
+                "model_name": "cli_fm",
+                "output_dir": str(tmp_path / "out"),
+                "data_folder": str(tmp_path / "data"),
+                "conv_model": "clstm",
+                "num_classes": 2,
+                "batch_size": 4,
+                "clip_size": 8,
+                "input_spatial_size": 32,
+                "clstm_hidden": 4,
+                "clstm_layers": 1,
+                "conv_stride": 1,
+                "dropout": 0.0,
+                "num_workers": 2,
+            }
+        )
+    )
+    cli_main(["find-masks", "-c", str(cfg_path), "--test_run", "-opti", "2"])
+    results = os.path.join(str(tmp_path / "out"), "cli_fm", "results")
+    files = os.listdir(results)
+    assert any("allTimeMaskResults" in f for f in files)
+    assert any("allGradCamResults" in f for f in files)
+    with open(os.path.join(results, next(f for f in files if "TimeMask" in f)), "rb") as f:
+        tm = pickle.load(f)
+    assert len(tm) == 4 and tm[0]["time_mask"].shape == (8,)
+
+
+@pytest.mark.slow
 def test_e2e_train_patience_halving(e2e_cfg):
     """lr_schedule='patience_halving' is selectable end-to-end."""
     import dataclasses
