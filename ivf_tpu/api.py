@@ -35,8 +35,12 @@ _cast_f32 = jax.jit(lambda x: x.astype(jnp.float32))
 
 
 def default_effective_steps(clip_size: int) -> tuple:
-    """Quarters of the clip, as the reference drivers configure
-    (train_clstm_kth.py:51-55: [7,15,23,31] for 32)."""
+    """Reference defaults: CLSTM_4.py:11 hardcodes [4,8,12,15] for step=16
+    while the KTH driver passes [7,15,23,31] for 32 (train_clstm_kth.py:51-55)
+    — two different conventions in the reference itself; each is matched at
+    its clip length, quarters-minus-one otherwise."""
+    if clip_size == 16:
+        return (4, 8, 12, 15)
     q = clip_size // 4
     return tuple(q * k - 1 for k in range(1, 5))
 
@@ -121,8 +125,15 @@ def build_dataset(cfg: Config, split: str = "train", get_item_id: bool = False):
             paths, clip_size=d.clip_size, get_item_id=get_item_id
         )
     root = os.path.join(d.data_folder, split)
-    if "kth" in cfg.model.conv_model.lower() and not os.path.isdir(root):
-        root = d.data_folder  # KTH numbered-dir layout has no split subdirs
+    if "kth" in cfg.model.conv_model.lower():
+        if split == "validation" and not os.path.isdir(root):
+            # reference KTH layout names the eval split 'test'
+            # (train_clstm_kth.py:100-115: data_folder/train, data_folder/test)
+            alt = os.path.join(d.data_folder, "test")
+            if os.path.isdir(alt):
+                root = alt
+        if not os.path.isdir(root):
+            root = d.data_folder  # flat numbered-dir layout has no splits
     if "kth" in cfg.model.conv_model.lower():
         return KTHFrameDataset(root, clip_size=d.clip_size, get_item_id=get_item_id)
     return FrameDirDataset(
@@ -195,10 +206,10 @@ def train(
         state = replicate(state, mesh)
 
     ckpt = Checkpointer(save_dir)
-    start_epoch = 0
+    start_epoch, best_loss = 0, float("inf")
     if resume and ckpt.exists():
-        state, start_epoch = ckpt.restore(state)
-        print(f" > resumed from epoch {start_epoch}")
+        state, start_epoch, best_loss = ckpt.restore(state)
+        print(f" > resumed from epoch {start_epoch} (best loss {best_loss:.4f})")
     elif cfg.model.pretrained_model_path not in ("", "no_ckpt", None):
         state = _load_pretrained(cfg, model, state)
 
@@ -247,6 +258,8 @@ def train(
         max_steps_per_epoch=max_steps,
         plotter=plotter,
         kernel_l2=cfg.model.kernel_l2,
+        start_epoch=start_epoch,
+        best_loss=best_loss,
     )
     return state, history
 
@@ -331,6 +344,13 @@ def infer(cfg: Config, state=None, mesh=None, dataset=None, save_npy=True):
 
     if state is None:
         _, state = init_eval_state(cfg)
+    if mesh is not None:
+        # params must be mesh-replicated to meet the sharded batches —
+        # exactly as train() does (single-device-committed params + sharded
+        # inputs is a jit device-mismatch error)
+        from ivf_tpu.parallel import replicate
+
+        state = replicate(state, mesh)
     dataset = dataset or build_dataset(cfg, "validation")
     loss_type = "nll_on_probs" if cfg.model.soft_max else "cross_entropy"
     res = evaluate(
@@ -408,6 +428,10 @@ def find_masks(
     else:
         from ivf_tpu.interpret.gradcam import convlstm_grad_cam
 
+        # torch-family CLSTM Grad-CAM uses GLOBAL channel weights (mean grad
+        # over T,H,W — grad_cam_videos.py:98); the TF family's per-frame
+        # weights (mask/gradcam.py:102) apply only to block_order='tf'
+        wmode = "per_frame" if cfg.model.block_order == "tf" else "global"
         cam_batch = jax.jit(
             jax.vmap(
                 lambda clip, tgt: convlstm_grad_cam(
@@ -416,6 +440,7 @@ def find_masks(
                     clip,
                     tgt,
                     normalize_per_frame=norm_frame,
+                    weight_mode=wmode,
                 )[0]
             )
         )
@@ -495,7 +520,21 @@ def find_masks(
         labels_k = jnp.asarray(labels_np[kept])
         ids_k = [ids[i] for i in kept]
 
-        outputs = batched_scores(clips_k)
+        # pad every filtered batch back to the loader batch size so the
+        # jitted score/init/search/cam programs compile ONCE — otherwise
+        # each distinct post-filter kept-count retraces the full 300-step
+        # search (minutes of XLA compile per batch); padded rows repeat
+        # row 0 and are sliced off host-side
+        pad_to = cfg.data.batch_size
+
+        def _pad(a):
+            n = a.shape[0]
+            if n >= pad_to:
+                return a
+            fill = jnp.broadcast_to(a[:1], (pad_to - n, *a.shape[1:]))
+            return jnp.concatenate([a, fill], axis=0)
+
+        outputs = batched_scores(_pad(clips_k))[: len(kept)]
         outputs_np = np.asarray(outputs)
         if mk.min_score > 0.0:
             # TF drivers skip clips whose true-class probability is below
@@ -521,7 +560,7 @@ def find_masks(
 
         if run_temp_mask:
             if mk.mask_init_type == "central":
-                inits = init_batch(clips_k, targets)
+                inits = init_batch(_pad(clips_k), _pad(targets))[: len(kept)]
             else:
                 keys = jax.random.split(
                     jax.random.PRNGKey(cfg.seed + bidx), len(kept)
@@ -531,7 +570,8 @@ def find_masks(
                 inits = jnp.stack(
                     [init_mask_random(k, cfg.data.clip_size) for k in keys]
                 )
-            res = search_batch(clips_k, targets, inits)
+            res = search_batch(_pad(clips_k), _pad(targets), _pad(inits))
+            res = jax.tree.map(lambda a: a[: len(kept)], res)
             masks_np = np.asarray(res.mask)
             for j in range(len(kept)):
                 time_mask_results.append(
@@ -550,7 +590,9 @@ def find_masks(
                 )
 
         if do_gradcam:
-            cams = np.asarray(cam_batch(clips_k, targets))
+            cams = np.asarray(
+                cam_batch(_pad(clips_k), _pad(targets))[: len(kept)]
+            )
             for j in range(len(kept)):
                 grad_cam_results.append(
                     {
@@ -692,6 +734,7 @@ def grad_cam_run(cfg: Config, variables, clips, targets=None):
                 clips[j],
                 targets[j],
                 normalize_per_frame=(cfg.mask.normalization_mode == "frame"),
+                weight_mode="per_frame" if cfg.model.block_order == "tf" else "global",
             )
             cams.append(np.asarray(cam))
     return np.stack(cams)

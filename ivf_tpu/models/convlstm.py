@@ -259,10 +259,12 @@ class ConvLSTM(nn.Module):
                 [block_outs[s] for s in effective], axis=0
             )
             clstm_output = jnp.swapaxes(clstm_seq, 0, 1)  # (B, T, ...)
+            block_seq = jnp.swapaxes(block_outs, 0, 1)  # (B, T, H', W', C)
         else:
             states = list(carry)
             outputs = []
             clstm_seq = []
+            block_list = []
             for step in range(t):
                 x = clip[:, step]
                 for i, cell in enumerate(self.cells):
@@ -274,12 +276,14 @@ class ConvLSTM(nn.Module):
                             h_eff = h + feature_offset[:, step]
                         clstm_seq.append(h_eff)
                     x = self._block_tail(h_eff, i, train)
+                block_list.append(x)
                 if step in effective:
                     outputs.append(x)
             effective_outputs = jnp.stack(outputs, axis=0)
             clstm_output = jnp.stack(clstm_seq, axis=1)  # (B, T, ...)
+            block_seq = jnp.stack(block_list, axis=1)  # (B, T, H', W', C)
         self.sow("intermediates", "clstm_output", clstm_output)
-        return effective_outputs, clstm_output
+        return effective_outputs, clstm_output, block_seq
 
 
 class ConvLSTMClassifier(nn.Module):
@@ -349,13 +353,16 @@ class ConvLSTMClassifier(nn.Module):
         train: bool = False,
         feature_offset: Optional[jax.Array] = None,
     ) -> jax.Array:
-        outputs, clstm_output = self.clstm(
+        outputs, clstm_output, block_seq = self.clstm(
             clip, train=train, feature_offset=feature_offset
         )
         if self.head == "gap":
-            # temporal GAP over pooled block outputs then 1x1 conv
-            # (clstm_gap pools over the 16-frame axis, clstm.py:72-82)
-            feats = jnp.mean(clstm_output, axis=1)  # (B, H, W, C)
+            # temporal GAP over the BLOCK-output sequence — the features
+            # after TimeDistributed pooling + batch_normalization, exactly
+            # what clstm_gap's avg_pool3d consumes (clstm.py:72-82) — then
+            # the 1x1 conv head. Spatial GAP replaces the reference's
+            # trailing reshape (which only typechecks at 1x1 spatial).
+            feats = jnp.mean(block_seq, axis=1)  # (B, H', W', C)
             feats = jnp.mean(feats, axis=(1, 2))  # spatial GAP
             out = self.gap_conv(feats)
         else:
@@ -372,5 +379,5 @@ class ConvLSTMClassifier(nn.Module):
 
     def features(self, clip: jax.Array, train: bool = False) -> jax.Array:
         """Grad-CAM target: the last layer's full pre-pool hidden sequence."""
-        _, clstm_output = self.clstm(clip, train=train)
+        _, clstm_output, _ = self.clstm(clip, train=train)
         return clstm_output

@@ -195,18 +195,22 @@ def fit(
     max_steps_per_epoch: Optional[int] = None,
     plotter=None,
     kernel_l2: float = 0.0,
+    start_epoch: int = 0,
+    best_loss: float = float("inf"),
 ) -> Tuple[TrainState, list]:
     """Epoch orchestration mirroring train_i3d_smth.main (33-189): train,
     validate, plateau-LR step, plot, checkpoint best-on-val-loss; stops
-    early when lr decays below ``last_lr`` (train_i3d_smth.py:156-158)."""
+    early when lr decays below ``last_lr`` (train_i3d_smth.py:156-158).
+    ``start_epoch``/``best_loss`` come from a resumed checkpoint — the
+    epoch loop is range(start_epoch, num_epochs) exactly as the reference
+    (train_i3d_smth.py:150-152)."""
     from ivf_tpu.train.optim import get_learning_rate, set_learning_rate
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     train_step = make_train_step(loss_type, kernel_l2=kernel_l2)
     eval_step = make_eval_step(loss_type)
     history = []
-    best_loss = float("inf")
-    for epoch in range(num_epochs):
+    for epoch in range(start_epoch, num_epochs):
         lr_now = get_learning_rate(state.opt_state)
         if last_lr and lr_now < last_lr:
             print(f" > stopping: lr {lr_now} < last_lr {last_lr}")
@@ -256,5 +260,5 @@ def fit(
         if checkpointer is not None:
             is_best = val_metrics["loss"] < best_loss
             best_loss = min(val_metrics["loss"], best_loss)
-            checkpointer.save(state, epoch, is_best=is_best)
+            checkpointer.save(state, epoch, is_best=is_best, best_loss=best_loss)
     return state, history

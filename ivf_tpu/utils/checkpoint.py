@@ -29,13 +29,20 @@ class Checkpointer:
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
 
-    def save(self, state: TrainState, epoch: int, is_best: bool = False):
+    def save(
+        self,
+        state: TrainState,
+        epoch: int,
+        is_best: bool = False,
+        best_loss: float = float("inf"),
+    ):
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "epoch": epoch,
             "step": state.step,
+            "best_loss": float(best_loss),
         }
         path = self._path("checkpoint")
         if os.path.exists(path):
@@ -54,16 +61,19 @@ class Checkpointer:
         name: str = "checkpoint",
         skip_logits: bool = False,
         logits_keys: tuple = ("logits", "end_fc", "fc", "gap_conv"),
-    ) -> tuple[TrainState, int]:
+    ) -> tuple[TrainState, int, float]:
         """Restore into ``state``; with ``skip_logits`` the classifier-head
         params keep their fresh values (class-count transfer,
-        train_i3d_smth.py:76-88). Returns (state, start_epoch)."""
+        train_i3d_smth.py:76-88). Returns (state, start_epoch, best_loss) —
+        the reference resume restores best_loss too (train_i3d_smth.py:76-88)
+        so a worse post-resume epoch can't overwrite model_best."""
         template = {
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "epoch": 0,
             "step": 0,
+            "best_loss": float("inf"),
         }
         restored = self._saver.restore(self._path(name), template)
         params = restored["params"]
@@ -78,7 +88,7 @@ class Checkpointer:
             opt_state=restored["opt_state"],
             step=restored["step"],
         )
-        return new_state, int(restored["epoch"]) + 1
+        return new_state, int(restored["epoch"]) + 1, float(restored["best_loss"])
 
     def exists(self, name: str = "checkpoint") -> bool:
         return os.path.exists(self._path(name))

@@ -179,6 +179,21 @@ def test_e2e_cli_grad_cam(tmp_path):
 
 
 @pytest.mark.slow
+def test_e2e_train_resume_continues_from_epoch(e2e_cfg):
+    """--resume restores epoch AND best_loss: raising num_epochs 2 -> 3 and
+    resuming trains exactly ONE more epoch starting at epoch index 2
+    (train_i3d_smth.py:150-152 range(start_epoch, num_epochs) semantics)."""
+    old = e2e_cfg.optim.num_epochs
+    e2e_cfg.optim.num_epochs = 3
+    try:
+        _state, history = train(e2e_cfg, resume=True)
+    finally:
+        e2e_cfg.optim.num_epochs = old
+    assert len(history) == 1
+    assert history[0]["epoch"] == 2
+
+
+@pytest.mark.slow
 def test_e2e_cli_find_masks(tmp_path):
     """`find-masks --test_run` through the CLI writes both result pickles
     (temp-mask search ran, not just the CAM pass)."""

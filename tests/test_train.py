@@ -164,8 +164,9 @@ def test_fit_with_scheduler_and_checkpoint(tmp_path):
     state2 = create_train_state(
         model, jax.random.PRNGKey(9), jnp.asarray(clips[:2]), tx
     )
-    restored, start_epoch = ckpt.restore(state2)
+    restored, start_epoch, best_loss = ckpt.restore(state2)
     assert start_epoch == 2
+    assert best_loss == min(h["val"]["loss"] for h in history)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
         restored.params,
@@ -177,7 +178,7 @@ def test_fit_with_scheduler_and_checkpoint(tmp_path):
         model, jax.random.PRNGKey(11), jnp.asarray(clips[:2]), tx
     )
     fresh_fc = jax.tree.map(np.asarray, state3.params["fc"])
-    restored3, _ = ckpt.restore(state3, skip_logits=True)
+    restored3, _, _ = ckpt.restore(state3, skip_logits=True)
     np.testing.assert_allclose(
         np.asarray(restored3.params["fc"]["kernel"]), fresh_fc["kernel"]
     )
