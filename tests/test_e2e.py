@@ -280,6 +280,55 @@ def test_cli_make_records_and_train_on_records(tmp_path):
 
 
 @pytest.mark.slow
+def test_find_masks_on_records(tmp_path):
+    """find_masks over a records-mode dataset (the TF half's input path,
+    mask/find_mask_*.py on tfrecords): record video_ids become result ids."""
+    import jax
+    import jax.numpy as jnp
+
+    from ivf_tpu.cli import main as cli_main
+
+    _make_frame_tree(tmp_path / "data", clips_per_class=2)
+    out = str(tmp_path / "val.ivfrecords")
+    cli_main(
+        [
+            "make-records",
+            "--frames-root", str(tmp_path / "data" / "validation"),
+            "--out", out, "--nb-frames", "8", "--mode", "all",
+        ]
+    )
+    cfg = Config.from_dict(
+        {
+            "model_name": "rec_fm",
+            "output_dir": str(tmp_path / "out"),
+            "conv_model": "clstm",
+            "num_classes": 2,
+            "batch_size": 4,
+            "clip_size": 8,
+            "input_spatial_size": 32,
+            "clstm_hidden": 4,
+            "clstm_layers": 1,
+            "conv_stride": 1,
+            "dropout": 0.0,
+            "num_workers": 2,
+        }
+    )
+    cfg.model.effective_steps = (3, 7)
+    cfg.data.input_mode = "records"
+    cfg.data.record_paths_val = (out,)
+    cfg.mask.opt_iter = 2
+
+    model = build_model(cfg, softmax_override=True)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 32, 32, 3))
+    )
+    tm, gc = find_masks(cfg, variables, max_batches=1, save_viz=False)
+    assert len(tm) == 4 and len(gc) == 4
+    # ids come from the record video_id field, not the batch fallback
+    assert all(not r["video_id"].startswith("b0_") for r in tm)
+
+
+@pytest.mark.slow
 def test_i3d_find_masks_end_to_end(tmp_path):
     """I3D path of find_masks (trunk/head-split Grad-CAM + vmapped search)
     on small synthetic clips, exercising the sized-down I3D end to end."""
