@@ -254,3 +254,83 @@ def test_i3d_tf_import_roundtrip():
         train=False,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=1e-6)
+
+
+def test_clstm_gap_import_golden(tmp_path):
+    """clstm_gap variant: conv3d/* maps to gap_conv and the gap head
+    consumes the pooled+BN BLOCK-output sequence (clstm.py:54-84 — the
+    avg_pool3d input is x after TimeDistributed pooling + BN, not the raw
+    hidden states), checked against the same independent numpy replica."""
+    from ivf_tpu.models import ConvLSTMClassifier
+    from ivf_tpu.utils.import_tf import load_tf_checkpoint
+
+    rng = np.random.RandomState(11)
+    t, hgt, wid, cin = 4, 24, 32, 3
+    layers = (4, 4)
+    k1, k2, stride = 3, 5, 2
+    n_classes = 5
+
+    tensors = {"global_step": np.asarray(1, np.int64)}
+    np_layers = []
+    c_in = cin
+    for li, ch in enumerate(layers):
+        sfx = "" if li == 0 else f"_{li}"
+        kern = (rng.randn(k1, k2, c_in, 4 * ch) * 0.3).astype(np.float32)
+        rkern = (rng.randn(k1, k2, ch, 4 * ch) * 0.3).astype(np.float32)
+        bias = (rng.randn(4 * ch) * 0.1).astype(np.float32)
+        tensors[f"conv_lst_m2d{sfx}/kernel"] = kern
+        tensors[f"conv_lst_m2d{sfx}/recurrent_kernel"] = rkern
+        tensors[f"conv_lst_m2d{sfx}/bias"] = bias
+        gamma = (1.0 + 0.1 * rng.randn(ch)).astype(np.float32)
+        beta = (0.1 * rng.randn(ch)).astype(np.float32)
+        mmean = (0.05 * rng.randn(ch)).astype(np.float32)
+        mvar = (1.0 + 0.1 * rng.rand(ch)).astype(np.float32)
+        tensors[f"batch_normalization{sfx}/gamma"] = gamma
+        tensors[f"batch_normalization{sfx}/beta"] = beta
+        tensors[f"batch_normalization{sfx}/moving_mean"] = mmean
+        tensors[f"batch_normalization{sfx}/moving_variance"] = mvar
+        np_layers.append((kern, rkern, bias, gamma, beta, mmean, mvar))
+        c_in = ch
+
+    clip = rng.rand(2, t, hgt, wid, cin).astype(np.float32)
+    x = clip.astype(np.float64)
+    for kern, rkern, bias, gamma, beta, mmean, mvar in np_layers:
+        seq = _np_keras_convlstm2d(x, kern, rkern, bias, stride, "valid")
+        pooled = np.stack([_np_maxpool2(seq[:, s]) for s in range(t)], axis=1)
+        x = _np_bn(pooled, gamma, beta, mmean, mvar)
+    # gap head: temporal mean of the block sequence, spatial GAP, 1x1 conv
+    feats = x.mean(axis=1).mean(axis=(1, 2))  # (B, C)
+    gk = (rng.randn(1, 1, 1, layers[-1], n_classes) * 0.2).astype(np.float32)
+    gb = (0.1 * rng.randn(n_classes)).astype(np.float32)
+    tensors["conv3d/kernel"] = gk
+    tensors["conv3d/bias"] = gb
+    expected = feats @ gk.reshape(layers[-1], n_classes) + gb
+
+    prefix = os.path.join(tmp_path, "model.ckpt")
+    save_bundle(prefix, tensors)
+    variables = load_tf_checkpoint(prefix, "clstm")
+    assert "gap_conv" in variables["params"]
+
+    model = ConvLSTMClassifier(
+        head="gap",
+        num_classes=n_classes,
+        nb_lstm_units=4,
+        lstm_layers=2,
+        conv_kernel_size=(k1, k2),
+        conv_stride=stride,
+        effective_steps=(t - 1,),
+        batch_norm=True,
+        shared_bn=False,
+        block_order="tf",
+        recurrent_activation="hard_sigmoid",
+        x_padding="valid",
+    )
+    out = model.apply(
+        {
+            "params": variables["params"],
+            "batch_stats": variables["batch_stats"],
+        },
+        jnp.asarray(clip),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4, atol=2e-5)
