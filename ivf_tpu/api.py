@@ -59,6 +59,7 @@ def build_model(cfg: Config, softmax_override: Optional[bool] = None):
             stride_mod_layers=tuple(m.stride_mod_layers),
             use_pallas=m.use_pallas,
             fuse_pool_conv=m.fuse_pool_conv,
+            pool_impl=m.pool_impl,
         )
         if "kth" in name:
             kwargs["final_time_length"] = m.final_temp_time

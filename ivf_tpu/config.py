@@ -81,6 +81,9 @@ class ModelConfig:
     pretrained_model_path: str = "no_ckpt"
     compute_dtype: str = "float32"  # float32 | bfloat16
     use_pallas: bool = False  # route eligible ops through Pallas kernels
+    pool_impl: str = "reduce_window"  # I3D maxpools: 'reduce_window' |
+    # 'shift' (separable slice-max chain) | 'eqbwd' (equality-stencil VJP
+    # for the stride-1 branch pools) — all measured in PERF.md
     fuse_pool_conv: bool = False  # I3D Inception branch-3 pool+1x1conv
     # as one Pallas kernel per direction (inference/mask search only)
     # Keras-ConvLSTM2D cell fidelity knobs for the TF model family

@@ -169,6 +169,11 @@ def max_pool3d_same(
     same documented deviation class as ops/pallas/maxpool3d.py, opt-in via
     the models' ``pool_impl`` knob.
     """
+    if impl == "eqbwd" and tuple(strides) == (1, 1, 1):
+        # eq-stencil VJP applies to the stride-1 (branch) pools — where the
+        # select_and_scatter cost lives; strided trunk pools fall through
+        # to the native path
+        return _max_pool3d_same_eqbwd(x, tuple(window), tuple(strides))
     pad = explicit_same_padding(x.shape[1:4], window, strides)
     pad_cfg = ((0, 0),) + tuple(pad) + ((0, 0),)
     x = jnp.pad(x, pad_cfg, mode="constant", constant_values=0.0)
@@ -190,6 +195,58 @@ def max_pool3d_same(
         window_strides=(1, *strides, 1),
         padding="VALID",
     )
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _max_pool3d_same_eqbwd(x, window, strides):
+    """Identical forward to the default pool; the VJP replaces XLA's
+    ``select_and_scatter`` (measured: ~30% of the whole mask-search step on
+    the bench chip for the 9 stride-1 branch pools, scripts/bench_ablate.py
+    ``poolnograd``) with a fused equality stencil:
+
+        dx[i] = sum over window offsets o of  g[i+o] * (x[i] == y[i+o])
+
+    Tie semantics deviation (documented, opt-in): where several window
+    elements equal the max, EVERY tied element receives the full cotangent
+    (a valid max subgradient), while torch/select_and_scatter route each
+    window's gradient to its first max only. Gradients are identical
+    whenever window maxima are unique. Stride-1 windows only.
+    """
+    return max_pool3d_same(x, window, strides)
+
+
+def _eqbwd_fwd(x, window, strides):
+    y = max_pool3d_same(x, window, strides)
+    return y, (x, y)
+
+
+def _eqbwd_bwd(window, strides, res, g):
+    assert tuple(strides) == (1, 1, 1), "eqbwd pool is stride-1 only"
+    x, y = res
+    lohi = explicit_same_padding(x.shape[1:4], window, strides)
+    # output j contributes to input i when o = j - i is in
+    # [lo - w + 1, lo]; pad g (zeros) / y (+inf: never equal) so a static
+    # w^3 slice loop covers every offset
+    cfg = ((0, 0),) + tuple(
+        (w - 1 - lo, w - 1 - hi) for (lo, hi), w in zip(lohi, window)
+    ) + ((0, 0),)
+    gp = jnp.pad(g, cfg, constant_values=0.0)
+    yp = jnp.pad(y, cfg, constant_values=jnp.inf)
+    nt, nh, nw = x.shape[1:4]
+    dx = jnp.zeros(x.shape, g.dtype)
+    for kt in range(window[0]):
+        for kh in range(window[1]):
+            for kw in range(window[2]):
+                gs = gp[:, kt : kt + nt, kh : kh + nh, kw : kw + nw, :]
+                ys = yp[:, kt : kt + nt, kh : kh + nh, kw : kw + nw, :]
+                dx = dx + gs * (x == ys).astype(g.dtype)
+    return (dx.astype(x.dtype),)
+
+
+_max_pool3d_same_eqbwd.defvjp(_eqbwd_fwd, _eqbwd_bwd)
 
 
 def max_pool2d_valid(x: jax.Array, window: Sequence[int]) -> jax.Array:

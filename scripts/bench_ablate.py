@@ -13,8 +13,19 @@ from jax import lax
 sys.path.insert(0, "/root/repo")
 
 import ivf_tpu.ops.conv as conv_mod
+import ivf_tpu.models.layers as layers_mod
+import ivf_tpu.models.i3d as i3d_mod
 from ivf_tpu.interpret.mask_opt import find_mask
 from ivf_tpu.models import i3d_smth
+
+# PATCH TARGETS (round-2 fix — the original probes patched only
+# ivf_tpu.ops.conv, but models/layers.py:21 and models/i3d.py:37 bind
+# conv3d_same / max_pool3d_same BY VALUE at import, so conv patches and the
+# trunk-pool patch never reached the model; only the branch-3 pool resolves
+# through a call-time local import):
+#   conv3d_same      -> patch layers_mod.conv3d_same
+#   branch-3 pools   -> patch conv_mod.max_pool3d_same (call-time import)
+#   trunk pools      -> patch i3d_mod.max_pool3d_same
 
 
 def build_run(batch=128, n_steps=10):
@@ -50,7 +61,7 @@ def timed(run, clips):
 
 
 def main():
-    which = sys.argv[1:] or ["base", "nopool", "nopad"]
+    which = sys.argv[1:] or ["base", "nopool", "no3x3"]
     orig_pool = conv_mod.max_pool3d_same
     orig = {}
 
@@ -90,20 +101,20 @@ def main():
         import jax as _jax
 
         @_jax.custom_vjp
-        def pool_id_bwd(x, window, stride):
-            return orig_pool(x, window, stride)
+        def pool_id_bwd(x):  # geometry closed over: custom_vjp args trace
+            return orig_pool(x, (3, 3, 3), (1, 1, 1))
 
-        def _f(x, window, stride):
-            return orig_pool(x, window, stride), None
+        def _f(x):
+            return orig_pool(x, (3, 3, 3), (1, 1, 1)), None
 
         def _b(_, g):
-            return (g, None, None)
+            return (g,)
 
         pool_id_bwd.defvjp(_f, _b)
 
         def fake_pool3(x, window, stride, *a, **k):
-            if tuple(stride) == (1, 1, 1):
-                return pool_id_bwd(x, tuple(window), tuple(stride))
+            if tuple(stride) == (1, 1, 1) and tuple(window) == (3, 3, 3):
+                return pool_id_bwd(x)
             return orig_pool(x, window, stride, *a, **k)
 
         conv_mod.max_pool3d_same = fake_pool3
@@ -116,38 +127,38 @@ def main():
     if "no3x3" in which:
         # center-tap the 3x3x3 convs (1/27 the FLOPs, same shapes) to
         # measure the share of the big Inception branch convs (timing only)
-        orig_conv = conv_mod.conv3d_same
+        orig_conv = layers_mod.conv3d_same
 
         def center_tap(x, kernel, strides=(1, 1, 1), bias=None, **k):
             if kernel.shape[:3] == (3, 3, 3):
                 kernel = kernel[1:2, 1:2, 1:2]
             return orig_conv(x, kernel, strides, bias, **k)
 
-        conv_mod.conv3d_same = center_tap
+        layers_mod.conv3d_same = center_tap
         try:
             run, clips, steps = build_run()
             print(f"no3x3(center-tap): {steps/timed(run, clips):.0f} steps/s", flush=True)
         finally:
-            conv_mod.conv3d_same = orig_conv
+            layers_mod.conv3d_same = orig_conv
 
     if "nostem" in which:
-        # center-tap the 7x7x7 stem (s2d path off so the patch applies)
-        orig_conv = conv_mod.conv3d_same
+        # center-tap the 7x7x7 stem: i3d_smth defaults stem_s2d=True and its
+        # conv3d_stem_s2d entry is a call-time import from ops.conv, so the
+        # patch point is conv_mod.conv3d_stem_s2d (1/343 the stem FLOPs,
+        # identical output shape via a 1x1x1 stride-2 conv)
+        orig_s2d = conv_mod.conv3d_stem_s2d
 
-        def center_stem(x, kernel, strides=(1, 1, 1), bias=None, **k):
-            if kernel.shape[:3] == (7, 7, 7):
-                kernel = kernel[3:4, 3:4, 3:4]
-            return orig_conv(x, kernel, strides, bias, **k)
+        def fake_stem(x, kernel, bias=None):
+            return conv_mod.conv3d_same(
+                x, kernel[3:4, 3:4, 3:4], (2, 2, 2), bias
+            )
 
-        conv_mod.conv3d_same = center_stem
-        import ivf_tpu.models.layers  # noqa: F401  (stem_s2d=True bypasses
-        # conv3d_same; build with the plain path)
+        conv_mod.conv3d_stem_s2d = fake_stem
         try:
             run, clips, steps = build_run()
-            print(f"nostem(center-tap,s2d-on-noop expected)", flush=True)
             print(f"nostem: {steps/timed(run, clips):.0f} steps/s", flush=True)
         finally:
-            conv_mod.conv3d_same = orig_conv
+            conv_mod.conv3d_stem_s2d = orig_s2d
 
     if "nopoolall" in which:
         def fake_pool2(x, window, stride, *a, **k):
@@ -157,12 +168,14 @@ def main():
             # strided: replace with strided slice (timing only)
             return x[:, :: st[0], :: st[1], :: st[2]]
 
-        conv_mod.max_pool3d_same = fake_pool2
+        conv_mod.max_pool3d_same = fake_pool2  # branch pools (call-time import)
+        i3d_mod.max_pool3d_same = fake_pool2  # trunk pools (import-bound)
         try:
             run, clips, steps = build_run()
             print(f"nopool(all): {steps/timed(run, clips):.0f} steps/s", flush=True)
         finally:
             conv_mod.max_pool3d_same = orig_pool
+            i3d_mod.max_pool3d_same = orig_pool
 
 
 if __name__ == "__main__":

@@ -25,7 +25,7 @@ from ivf_tpu.models import ConvLSTMClassifier
 from ivf_tpu.train import build_optimizer, create_train_state, make_train_step
 
 
-def build(use_scan, remat=False, batch=24, t=32, h=160, w=120, n_iters=5):
+def build(use_scan, remat=False, batch=24, t=32, h=120, w=160, n_iters=5):  # (H,W)=(120,160) per configs
     model = ConvLSTMClassifier(
         num_classes=6,
         nb_lstm_units=32,

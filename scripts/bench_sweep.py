@@ -54,7 +54,7 @@ def build(batch, n_steps, *, dtype="bfloat16", remat=False, fuse_3x3=False,
 
     @jax.jit
     def run(clips, targets, inits, salt):
-        res = searcher(clips + salt * jnp.asarray(1e-6, clips.dtype), targets, inits)
+        res = searcher(clips + (salt * 1e-6).astype(clips.dtype), targets, inits)
         return jnp.sum(res.mask) + jnp.sum(res.loss.astype(jnp.float32))
 
     return run, (clips, targets, inits)

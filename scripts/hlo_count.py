@@ -50,11 +50,32 @@ _SKIP = {
 
 
 def count_ops(hlo_text: str) -> collections.Counter:
-    """Opcode histogram of the *entry + while-body* computations' non-trivial
-    instructions (fusions count once — they execute as one kernel)."""
+    """Opcode histogram of non-fusion-body computations' instructions
+    (fusions count once — they execute as one kernel; instructions inside
+    %fused_computation bodies are NOT re-counted, and tuple-typed
+    instructions like the scan `while` are included)."""
+    # computations that execute instruction-by-instruction: the entry and
+    # every while body/condition (transitively); fusion bodies and reduce/
+    # scatter combiners execute as part of their parent kernel
+    loop_comps = set()
+    for m in re.finditer(r"(?:body|condition)=%?([\w.\-]+)", hlo_text):
+        loop_comps.add(m.group(1))
+
     counts = collections.Counter()
+    counting = False
     for line in hlo_text.splitlines():
-        m = re.match(r"\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*[\w\[\]{}()\d,_]+\s+([\w-]+)\(", line)
+        comp = re.match(r"\s*(ENTRY\s+)?%?([\w.\-]+)\s*\(.*\)\s*->", line)
+        if comp and line.rstrip().endswith("{"):
+            counting = bool(comp.group(1)) or comp.group(2) in loop_comps
+            continue
+        if not counting:
+            continue
+        lhs_rhs = re.match(r"\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(.+)", line)
+        if not lhs_rhs:
+            continue
+        # first lowercase token directly followed by '(' is the opcode
+        # (works for tuple-typed results too: '(f32[..], ..) while(...)')
+        m = re.search(r"([a-z][a-z0-9\-]*)\(", lhs_rhs.group(1))
         if not m:
             continue
         op = m.group(1)

@@ -97,7 +97,14 @@ def main():
     )
     print(f"CLSTM f32: max rel err {rel_err(out_c, ref_c_out):.2e}")
 
-    ok = rel_err(out_f32, ref_out) < 2e-2 and rel_err(out_c, ref_c_out) < 2e-2
+    # thresholds match the advertised grade of each path: f32 at 1e-4
+    # (measured ~1e-6), bf16 (the bench dtype) and the recurrent CLSTM at
+    # 1e-2 (measured ~2e-3 / ~1.5e-3)
+    ok = (
+        rel_err(out_f32, ref_out) < 1e-4
+        and rel_err(out_bf16, ref_out) < 1e-2
+        and rel_err(out_c, ref_c_out) < 1e-2
+    )
     print("PARITY OK" if ok else "PARITY FAIL")
     return 0 if ok else 1
 

@@ -461,3 +461,35 @@ def test_i3d_pool_impl_shift_matches_baseline():
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-5, atol=1e-6)
     g = jax.grad(lambda c: shift.apply(v, c, train=False)[0, 3])(clips)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_maxpool_eqbwd_grads_match_native_on_unique_max():
+    """impl='eqbwd' (equality-stencil VJP replacing select_and_scatter):
+    identical forward, and EXACTLY equal gradients whenever window maxima
+    are unique; strided windows fall back to the native path. Tie semantics
+    deviation is documented in ops/conv.py (sum over ties vs first-max)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from ivf_tpu.ops.conv import max_pool3d_same
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(
+        rng.permutation(2 * 6 * 8 * 10 * 3)
+        .reshape(2, 6, 8, 10, 3)
+        .astype(np.float32)
+    )
+    f_ref = lambda x: jnp.sum(jnp.sin(max_pool3d_same(x, (3, 3, 3), (1, 1, 1))))
+    f_eq = lambda x: jnp.sum(
+        jnp.sin(max_pool3d_same(x, (3, 3, 3), (1, 1, 1), impl="eqbwd"))
+    )
+    np.testing.assert_allclose(float(f_ref(x)), float(f_eq(x)), rtol=0)
+    np.testing.assert_array_equal(
+        np.asarray(jax.grad(f_ref)(x)), np.asarray(jax.grad(f_eq)(x))
+    )
+    # strided: falls back to native (values equal, no stride-1 assert)
+    a = max_pool3d_same(x, (3, 3, 3), (2, 2, 2))
+    b = max_pool3d_same(x, (3, 3, 3), (2, 2, 2), impl="eqbwd")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
