@@ -322,6 +322,9 @@ _OVERRIDES = [
     ("--subsetFile", "-sf", "mask.subset_file", str),
     ("--gradCamType", "-gct", "mask.grad_cam_type", str),
     ("--splitType", "-kths", "split_type", str),
+    # reference README: --subDir names the results root; here the run's
+    # model_name plays that role (artifact paths are output_dir/model_name)
+    ("--subDir", "-sd", "model_name", str),
     ("--dataDir", "-dd", "data.data_folder", str),
     ("--num_epochs", "-ne", "optim.num_epochs", int),
     ("--num_classes", "-nc", "model.num_classes", int),
