@@ -255,3 +255,44 @@ def test_convlstm_dropout_train_path():
         mutable=["batch_stats"],
     )
     assert np.isfinite(np.asarray(out_train)).all()
+
+
+@pytest.mark.slow
+def test_i3d_doubled_smth_stride_mod_parity(reference_pt_path):
+    """The 'doubled' feature numerically: smth I3D with temporal striding
+    removed (stride_mod_layers + last_stride=1 — the exact mask-search
+    model config, FindMasksComparison_I3D_smth.py:55-58) vs the reference
+    I3D_doubled.Model with synced weights, incl. the stride-adjusted
+    avg-pool formula int(2*(2/last_stride)^n) (I3D_doubled.py:310-317)."""
+    import importlib
+
+    from ivf_tpu.models import i3d_smth
+    from ivf_tpu.utils.import_torch import i3d_state_dict_to_variables
+
+    mods = "MaxPool3d_4a_3x3,MaxPool3d_5a_2x2"
+    ref_mod = importlib.import_module("models.I3D_doubled")
+    torch.manual_seed(0)
+    ref = ref_mod.Model(
+        num_classes=5,
+        dropout_keep_prob=0.0,
+        last_stride=1,
+        stride_mod_layers=mods,
+    )
+    ref.eval()
+    variables = i3d_state_dict_to_variables(ref.state_dict())
+    model = i3d_smth(
+        num_classes=5,
+        dropout_rate=0.0,
+        last_stride=1,
+        stride_mod_layers=tuple(mods.split(",")),
+    )
+
+    torch.manual_seed(1)
+    x_t = torch.randn(1, 3, 16, 224, 224)
+    with torch.no_grad():
+        ref_out = ref(x_t).numpy()
+    out = jax.jit(lambda v, x: model.apply(v, x))(
+        variables, _to_jax_clip(x_t)
+    )
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=1e-3, atol=1e-4)
