@@ -222,3 +222,26 @@ def test_iteration_suffix_and_train_split_flags():
     assert cfg.mask.lam1 == 0.5
 
     assert inspect.signature(find_masks).parameters["split"].default == "validation"
+
+
+@pytest.mark.parametrize(
+    "name", ["config_i3d_smth.py", "config_i3d_kth.py", "config_clstm_kth.py"]
+)
+def test_reference_config_files_load_verbatim(name):
+    """The REFERENCE's own config modules load unchanged through
+    Config.load and build a model (the from_dict verbatim-keys contract)."""
+    import os
+
+    from ivf_tpu.api import build_model
+    from ivf_tpu.config import Config
+
+    path = os.path.join(
+        "/root/reference/video_features_pytorch/configs", name
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference repo not mounted")
+    cfg = Config.load(path)
+    assert cfg.model.num_classes in (6, 174)
+    assert cfg.data.batch_size > 0 and cfg.data.clip_size in (16, 32)
+    model = build_model(cfg)
+    assert model.num_classes == cfg.model.num_classes
