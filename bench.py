@@ -69,11 +69,17 @@ def build(
 
     searcher = jax.vmap(partial(find_mask, score_fn, n_steps=n_steps))
 
-    @jax.jit
     def run(clips, targets, inits, salt):
         # salt varies the input so remote execution memoization can't fire
         res = searcher(clips + salt * 1e-6, targets, inits)
         return jnp.sum(res.mask) + jnp.sum(res.loss)
+
+    # NOTE: the 128MB scoped-VMEM fusion budget (utils/compile.py hot_jit)
+    # measures +1.8% (450.5 -> 458.8 steps/s) but compiler-options-bearing
+    # programs bypass the axon server's compile cache, pushing every bench
+    # run past the contract timeout — so the BENCH keeps a plain jit and
+    # the production find_masks path keeps hot_jit (per-process compile).
+    run = jax.jit(run)
 
     return run, (clips, targets, inits)
 
@@ -86,6 +92,7 @@ def timed(run, args, salt0: float) -> float:
 
 
 def main():
+    t_start = time.time()
     # 120 steps per jit call: close to the production 300-step schedule's
     # tail amortization (the per-clip reverse/orig score forwards), still a
     # bounded bench runtime
@@ -111,7 +118,9 @@ def main():
         "unit": "mask-steps/s (1 step = I3D fwd+bwd on 16x224x224, batch 128 vmapped, bf16)",
         "vs_baseline": round(batched_sps / sequential_sps, 2),
     }
-    print(json.dumps(result))
+    # flush immediately: the primary metric must reach the driver even if
+    # a later (secondary) stage is killed by a timeout
+    print(json.dumps(result), flush=True)
     # BASELINE.md north star: full smth-smth val (24,777 clips x 300 steps
     # + Grad-CAM) on a v5e-8; the mask search is embarrassingly
     # clip-parallel so 8 chips scale linearly (dryrun_multichip validates
@@ -126,11 +135,16 @@ def main():
             full_val_steps / (8 * batched_sps) / 60, 1
         ),
     }
-    try:  # secondary metrics must never fail the bench
-        details.update(inference_throughput())
-    except Exception as e:  # noqa: BLE001
-        details["inference_detail_error"] = f"{type(e).__name__}: {e}"[:200]
-    print(json.dumps(details), file=sys.stderr)
+    if time.time() - t_start < 520:
+        try:  # secondary metrics must never fail the bench
+            details.update(inference_throughput())
+        except Exception as e:  # noqa: BLE001
+            details["inference_detail_error"] = f"{type(e).__name__}: {e}"[:200]
+    else:
+        # remote-compile latency varies ~2x run to run; skip the two extra
+        # model compiles rather than risk the whole bench timing out
+        details["inference_detail_skipped"] = "time budget exceeded"
+    print(json.dumps(details), file=sys.stderr, flush=True)
 
 
 def inference_throughput():

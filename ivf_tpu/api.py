@@ -415,13 +415,15 @@ def find_masks(
         0
     ].astype(jnp.float32)
 
+    from ivf_tpu.utils.compile import hot_jit
+
     is_i3d = isinstance(model, I3D)
     norm_frame = mk.normalization_mode == "frame"
     if is_i3d:
         from ivf_tpu.interpret.gradcam import grad_cam_batched
 
         ffn, hfn = i3d_grad_cam_fns(model, variables, mk.top_layer)
-        cam_batch = jax.jit(
+        cam_batch = hot_jit(
             lambda clips, tgts: grad_cam_batched(
                 ffn, hfn, clips, tgts, normalize_per_frame=norm_frame
             )[0]
@@ -433,7 +435,7 @@ def find_masks(
         # over T,H,W — grad_cam_videos.py:98); the TF family's per-frame
         # weights (mask/gradcam.py:102) apply only to block_order='tf'
         wmode = "per_frame" if cfg.model.block_order == "tf" else "global"
-        cam_batch = jax.jit(
+        cam_batch = hot_jit(
             jax.vmap(
                 lambda clip, tgt: convlstm_grad_cam(
                     model,
@@ -446,10 +448,10 @@ def find_masks(
             )
         )
 
-    batched_scores = jax.jit(
+    batched_scores = hot_jit(
         lambda clips: model.apply(variables, clips, train=False)
     )
-    init_batch = jax.jit(
+    init_batch = hot_jit(
         jax.vmap(
             partial(
                 init_mask_central,
@@ -458,7 +460,7 @@ def find_masks(
             )
         )
     )
-    search_batch = jax.jit(
+    search_batch = hot_jit(
         jax.vmap(
             partial(
                 find_mask,
