@@ -107,7 +107,10 @@ def build_dataset(cfg: Config, split: str = "train", get_item_id: bool = False):
     from ivf_tpu.data.loaders import RecordDataset
 
     d = cfg.data
-    if d.input_mode == "records":
+    # 'tfrecords' loads the reference's own artifacts
+    # (generate_tfrecords.py:26-55) through the same RecordDataset — the
+    # reader dispatches on file extension (data/tfrecords.py)
+    if d.input_mode in ("records", "tfrecords"):
         paths = list(
             d.record_paths_train if split == "train" else d.record_paths_val
         ) or list(d.record_paths)
@@ -145,15 +148,24 @@ def build_dataset(cfg: Config, split: str = "train", get_item_id: bool = False):
     )
 
 
-def build_loader(cfg: Config, dataset, shuffle: bool, mesh=None):
+def build_loader(
+    cfg: Config,
+    dataset,
+    shuffle: bool,
+    mesh=None,
+    drop_last: bool = True,
+    to_device: bool = True,
+):
     from ivf_tpu.data import ClipLoader
 
     return ClipLoader(
         dataset,
         batch_size=cfg.data.batch_size,
         shuffle=shuffle,
+        drop_last=drop_last,
         num_workers=cfg.data.num_workers,
         mesh=mesh,
+        to_device=to_device,
         seed=cfg.seed,
     )
 
@@ -365,9 +377,16 @@ def infer(cfg: Config, state=None, mesh=None, dataset=None, save_npy=True):
         save_dir = _save_dir(cfg)
         # KTH inference reports top-3 (inference_kth.py:10 TOP_X=3) but keeps
         # the top5 file name (inference_kth.py:178); smth uses real top-5.
-        # Gate on class count so BOTH KTH families hit it (the TF family's
-        # conv_model is plain 'clstm' — configs/config_clstm_kth_records.py)
-        k = 3 if cfg.model.num_classes <= 6 else 5
+        # Gate on the model FAMILY, not class count (a 5-class smth debug
+        # subset must still report top-5): KTH-ness = 'kth' in the model or
+        # run name, or the KTH-only per-subject record sharding. Explicit
+        # cfg.model.top_k overrides.
+        is_kth = (
+            "kth" in cfg.model.conv_model.lower()
+            or "kth" in cfg.model_name.lower()
+            or bool(cfg.data.train_subjects or cfg.data.val_subjects)
+        )
+        k = cfg.model.top_k if cfg.model.top_k else (3 if is_kth else 5)
         np.save(os.path.join(save_dir, "y_true.npy"), res["y_true"])
         np.save(os.path.join(save_dir, "y_hat.npy"), res["y_hat"])
         np.save(
@@ -386,6 +405,7 @@ def find_masks(
     max_batches: Optional[int] = None,
     mesh=None,
     split: str = "validation",
+    stats: Optional[dict] = None,
 ):
     """Temporal-mask search + Grad-CAM over the validation set — vmapped.
     ``split='train'`` mirrors the reference's ``--train`` flag (utils.py:43:
@@ -394,14 +414,26 @@ def find_masks(
     Returns (time_mask_results, grad_cam_results) lists of per-clip dicts
     with the reference's key names (FindMasksComparison_I3D_smth.py:243-251,
     271-277) and writes the same pickle artifacts.
+
+    Filtered clips (class-of-interest / subset / min_score — the reference
+    drivers filter hard, FindMasksComparison_I3D_smth.py:168-174) are
+    compacted ACROSS loader batches into full vmap batches before the
+    expensive search launches, so batch occupancy stays ~100% regardless of
+    filter selectivity. Pass a dict as ``stats`` to receive launch/occupancy
+    counters.
     """
     from ivf_tpu.interpret.gradcam import i3d_grad_cam_fns
     from ivf_tpu.interpret.mask_opt import find_mask, init_mask_central
+    from ivf_tpu.interpret.perturb import perturb_sequence
 
     model = build_model(cfg, softmax_override=True)
     mk = cfg.mask
     dataset = dataset or build_dataset(cfg, split, get_item_id=True)
-    loader = build_loader(cfg, dataset, False, mesh)
+    # host-side loader: clips stage on host until a full compacted batch is
+    # ready (drop_last=False — the reference iterates the whole val set)
+    loader = build_loader(
+        cfg, dataset, False, mesh=None, drop_last=False, to_device=False
+    )
 
     if cfg.model.compute_dtype == "bfloat16":
         variables = jax.tree.map(
@@ -472,6 +504,7 @@ def find_masks(
                 perturbation_type=mk.mask_perturb_type,
                 early_stop=mk.early_stop,
                 eta=mk.eta,
+                closed_form=mk.closed_form,
             )
         )
     )
@@ -488,13 +521,217 @@ def find_masks(
     results_path = os.path.join(save_dir, "results")
     os.makedirs(results_path, exist_ok=True)
 
+    # ---- compacted staged execution --------------------------------------
+    # Kept clips accumulate host-side across loader batches; the jitted
+    # score/init/search/cam programs (compiled ONCE, fixed batch B) launch
+    # only on full batches. A single padded final flush drains the
+    # remainder — padding rows repeat row 0 and are sliced off host-side.
+    B = cfg.data.batch_size
+    is_kth = "kth" in cfg.model.conv_model.lower()
+    if mesh is not None:
+        from ivf_tpu.parallel.mesh import data_sharding
+
+        _sharding = data_sharding(mesh)
+        _put = lambda a: jax.device_put(a, _sharding)
+    else:
+        _put = jnp.asarray
+
+    def _to_device(arr):
+        x = _put(np.ascontiguousarray(arr))
+        if x.dtype == jnp.uint8:
+            x = _cast_f32(x)
+        return x
+
+    def _pad_np(arr):
+        n = arr.shape[0]
+        if n >= B:
+            return arr
+        fill = np.broadcast_to(arr[:1], (B - n, *arr.shape[1:]))
+        return np.concatenate([arr, fill], axis=0)
+
+    pending: list = []  # rows awaiting the min_score probe (clip, label, id)
+    ready: list = []  # rows ready to search (clip, label, id, output|None)
+    run_stats = {
+        "score_launches": 0,
+        "search_launches": 0,
+        "searched_rows": 0,
+        "padded_rows": 0,
+    }
+    flush_idx = [0]
+    pert_cache: dict = {}
+
+    def _pert_batch(ptype: str, snap: bool):
+        key = (ptype, snap)
+        if key not in pert_cache:
+            pert_cache[key] = hot_jit(
+                jax.vmap(
+                    lambda c, m: perturb_sequence(
+                        c, m, ptype, snap_values=snap
+                    )
+                )
+            )
+        return pert_cache[key]
+
+    def _run_batch(take):
+        n = len(take)
+        clips_np = np.stack([r[0] for r in take])
+        labels_np = np.asarray([r[1] for r in take])
+        ids_k = [str(r[2]) for r in take]
+        clips_dev = _to_device(_pad_np(clips_np))
+        if take[0][3] is not None:
+            outputs_np = np.stack([r[3] for r in take])
+        else:
+            outputs_np = np.asarray(batched_scores(clips_dev))[:n]
+            run_stats["score_launches"] += 1
+        pred = np.argmax(outputs_np, axis=-1)
+        targets_np = pred if mk.grad_cam_type == "guessed" else labels_np
+        targets = jnp.asarray(_pad_np(targets_np))
+
+        res = masks_np = freeze_np = reverse_np = None
+        if run_temp_mask:
+            if mk.mask_init_type == "central":
+                inits = init_batch(clips_dev, targets)
+            else:
+                from ivf_tpu.interpret.mask_opt import init_mask_random
+
+                keys = jax.random.split(
+                    jax.random.PRNGKey(cfg.seed + flush_idx[0]), B
+                )
+                inits = jnp.stack(
+                    [init_mask_random(k, cfg.data.clip_size) for k in keys]
+                )
+            res = search_batch(clips_dev, targets, inits)
+            run_stats["search_launches"] += 1
+            run_stats["searched_rows"] += n
+            run_stats["padded_rows"] += B - n
+            masks_np = np.asarray(res.mask)[:n]
+            freeze_np = np.asarray(res.freeze_score)[:n]
+            reverse_np = np.asarray(res.reverse_score)[:n]
+            for j in range(n):
+                time_mask_results.append(
+                    {
+                        "true_class": int(labels_np[j]),
+                        "pred_class": int(pred[j]),
+                        "video_id": ids_k[j],
+                        "time_mask": masks_np[j],
+                        "original_score_guess": float(outputs_np[j].max()),
+                        "original_score_true": float(
+                            outputs_np[j][labels_np[j]]
+                        ),
+                        "freeze_score": float(freeze_np[j]),
+                        "reverse_score": float(reverse_np[j]),
+                    }
+                )
+        flush_idx[0] += 1
+
+        cams = None
+        if do_gradcam:
+            cams = np.asarray(cam_batch(clips_dev, targets))[:n]
+            for j in range(n):
+                grad_cam_results.append(
+                    {
+                        "true_class": int(labels_np[j]),
+                        "pred_class": int(pred[j]),
+                        "video_id": ids_k[j],
+                        "GCHeatMap": cams[j],
+                    }
+                )
+
+        if save_viz and run_temp_mask:
+            # ONE unified per-clip viz loop (the reference's two back-to-back
+            # loops shared the same out_folder); viz perturbations computed
+            # batched+jitted per flush instead of per-clip eager calls
+            from ivf_tpu.viz import create_image_arrays, visualize_results
+
+            masks_dev = res.mask  # (B, T) padded — feeds batched perturbs
+            viz_perts = {}
+            if do_gradcam:
+                for ptype in ("freeze", "reverse"):
+                    viz_perts[ptype] = np.asarray(
+                        _pert_batch(ptype, True)(clips_dev, masks_dev)
+                    )[:n]
+            kth_pert = None
+            if is_kth:
+                # KTH driver additionally renders the perturbed sequence
+                # itself (FindMasksComparison_I3D_KTH.py:362-366), unsnapped
+                kth_pert = np.asarray(
+                    _pert_batch(mk.mask_perturb_type, False)(
+                        clips_dev, masks_dev
+                    )
+                )[:n]
+            clips_f32 = np.asarray(clips_dev)[:n]
+            for j in range(n):
+                tag = ids_k[j]
+                out_folder = os.path.join(
+                    save_dir,
+                    "cam_saved_images",
+                    str(int(labels_np[j])),
+                    f"{tag}g_{int(pred[j])}",
+                    "combined",
+                )
+                os.makedirs(out_folder, exist_ok=True)
+                if do_gradcam:
+                    # per-clip score text files
+                    # (FindMasksComparison_I3D_smth.py:234-241)
+                    for nm, val in (
+                        ("Freeze", float(freeze_np[j])),
+                        ("Reverse", float(reverse_np[j])),
+                    ):
+                        with open(
+                            os.path.join(
+                                out_folder, f"ClassScore{nm}case{tag}.txt"
+                            ),
+                            "w",
+                        ) as f:
+                            f.write(str(val))
+                    for ptype in ("freeze", "reverse"):
+                        create_image_arrays(
+                            clips_f32[j],
+                            cams[j],
+                            masks_np[j],
+                            viz_perts[ptype][j],
+                            out_folder,
+                            case_tag=ptype + tag,
+                        )
+                if is_kth:
+                    visualize_results(
+                        clips_f32[j],
+                        kth_pert[j],
+                        masks_np[j],
+                        root_dir=out_folder,
+                        case=tag,
+                        mark_imgs=True,
+                    )
+
+    def _flush_ready(final: bool = False):
+        while len(ready) >= B or (final and ready):
+            take = ready[:B]
+            del ready[:B]
+            _run_batch(take)
+
+    def _flush_pending(final: bool = False):
+        # TF drivers skip clips whose true-class probability is below the
+        # threshold (find_mask_smth.py:364-366) — probe forwards run on
+        # full compacted batches too, and survivors re-stage for search
+        while len(pending) >= B or (final and pending):
+            take = pending[:B]
+            del pending[:B]
+            n = len(take)
+            clips_dev = _to_device(
+                _pad_np(np.stack([r[0] for r in take]))
+            )
+            outs = np.asarray(batched_scores(clips_dev))[:n]
+            run_stats["score_launches"] += 1
+            for j, (clip, label, cid) in enumerate(take):
+                if outs[j][label] >= mk.min_score:
+                    ready.append((clip, label, cid, outs[j]))
+            _flush_ready()
+
     for bidx, batch in enumerate(loader):
         if max_batches is not None and bidx >= max_batches:
             break
         clips, labels, ids = batch if len(batch) == 3 else (*batch, None)
-        clips = jnp.asarray(clips)
-        if clips.dtype == jnp.uint8:
-            clips = _cast_f32(clips)
+        clips_np = np.asarray(clips)
         labels_np = np.asarray(labels)
         # fallback ids carry the batch index so different batches can never
         # collide in result keys / viz output dirs
@@ -516,172 +753,22 @@ def find_masks(
             keep &= np.asarray(
                 [tag_matches(str(i), cfg.split_type) for i in ids]
             )
-        if not keep.any():
-            continue
-        kept = np.nonzero(keep)[0]
-        clips_k = clips[kept]
-        labels_k = jnp.asarray(labels_np[kept])
-        ids_k = [ids[i] for i in kept]
-
-        # pad every filtered batch back to the loader batch size so the
-        # jitted score/init/search/cam programs compile ONCE — otherwise
-        # each distinct post-filter kept-count retraces the full 300-step
-        # search (minutes of XLA compile per batch); padded rows repeat
-        # row 0 and are sliced off host-side
-        pad_to = cfg.data.batch_size
-
-        def _pad(a):
-            n = a.shape[0]
-            if n >= pad_to:
-                return a
-            fill = jnp.broadcast_to(a[:1], (pad_to - n, *a.shape[1:]))
-            return jnp.concatenate([a, fill], axis=0)
-
-        outputs = batched_scores(_pad(clips_k))[: len(kept)]
-        outputs_np = np.asarray(outputs)
-        if mk.min_score > 0.0:
-            # TF drivers skip clips whose true-class probability is below
-            # the threshold (find_mask_smth.py:364-366) — no 300-step search
-            # is spent on them
-            score_keep = (
-                outputs_np[np.arange(len(kept)), np.asarray(labels_k)]
-                >= mk.min_score
-            )
-            if not score_keep.any():
-                continue
-            sk = np.nonzero(score_keep)[0]
-            kept = kept[sk]
-            clips_k = clips_k[sk]
-            labels_k = jnp.asarray(np.asarray(labels_k)[sk])
-            ids_k = [ids_k[i] for i in sk]
-            outputs_np = outputs_np[sk]
-        pred = np.argmax(outputs_np, axis=-1)
-        if mk.grad_cam_type == "guessed":
-            targets = jnp.asarray(pred)
-        else:
-            targets = labels_k
-
-        if run_temp_mask:
-            if mk.mask_init_type == "central":
-                inits = init_batch(_pad(clips_k), _pad(targets))[: len(kept)]
+        for i in np.nonzero(keep)[0]:
+            if mk.min_score > 0.0:
+                pending.append((clips_np[i], int(labels_np[i]), ids[i]))
             else:
-                keys = jax.random.split(
-                    jax.random.PRNGKey(cfg.seed + bidx), len(kept)
-                )
-                from ivf_tpu.interpret.mask_opt import init_mask_random
+                ready.append((clips_np[i], int(labels_np[i]), ids[i], None))
+        if mk.min_score > 0.0:
+            _flush_pending()
+        else:
+            _flush_ready()
 
-                inits = jnp.stack(
-                    [init_mask_random(k, cfg.data.clip_size) for k in keys]
-                )
-            res = search_batch(_pad(clips_k), _pad(targets), _pad(inits))
-            res = jax.tree.map(lambda a: a[: len(kept)], res)
-            masks_np = np.asarray(res.mask)
-            for j in range(len(kept)):
-                time_mask_results.append(
-                    {
-                        "true_class": int(labels_np[kept[j]]),
-                        "pred_class": int(pred[j]),
-                        "video_id": ids_k[j],
-                        "time_mask": masks_np[j],
-                        "original_score_guess": float(outputs_np[j].max()),
-                        "original_score_true": float(
-                            outputs_np[j][labels_np[kept[j]]]
-                        ),
-                        "freeze_score": float(np.asarray(res.freeze_score)[j]),
-                        "reverse_score": float(np.asarray(res.reverse_score)[j]),
-                    }
-                )
-
-        if do_gradcam:
-            cams = np.asarray(
-                cam_batch(_pad(clips_k), _pad(targets))[: len(kept)]
-            )
-            for j in range(len(kept)):
-                grad_cam_results.append(
-                    {
-                        "true_class": int(labels_np[kept[j]]),
-                        "pred_class": int(pred[j]),
-                        "video_id": ids_k[j],
-                        "GCHeatMap": cams[j],
-                    }
-                )
-
-        if save_viz and do_gradcam and run_temp_mask:
-            from ivf_tpu.interpret.perturb import perturb_sequence
-            from ivf_tpu.viz import create_image_arrays
-
-            for j in range(len(kept)):
-                tag = str(ids_k[j])
-                out_folder = os.path.join(
-                    save_dir,
-                    "cam_saved_images",
-                    str(int(labels_np[kept[j]])),
-                    f"{tag}g_{int(pred[j])}",
-                    "combined",
-                )
-                clip_np = np.asarray(clips_k[j])
-                # per-clip score text files
-                # (FindMasksComparison_I3D_smth.py:234-241)
-                os.makedirs(out_folder, exist_ok=True)
-                for nm, val in (
-                    ("Freeze", float(np.asarray(res.freeze_score)[j])),
-                    ("Reverse", float(np.asarray(res.reverse_score)[j])),
-                ):
-                    with open(
-                        os.path.join(
-                            out_folder, f"ClassScore{nm}case{tag}.txt"
-                        ),
-                        "w",
-                    ) as f:
-                        f.write(str(val))
-                for ptype in ("freeze", "reverse"):
-                    pert = np.asarray(
-                        perturb_sequence(
-                            clips_k[j],
-                            jnp.asarray(masks_np[j]),
-                            ptype,
-                            snap_values=True,
-                        )
-                    )
-                    create_image_arrays(
-                        clip_np,
-                        cams[j],
-                        masks_np[j],
-                        pert,
-                        out_folder,
-                        case_tag=ptype + tag,
-                    )
-
-        if save_viz and run_temp_mask and "kth" in cfg.model.conv_model.lower():
-            # KTH driver additionally renders the perturbed sequence itself
-            # (FindMasksComparison_I3D_KTH.py:362-366)
-            from ivf_tpu.interpret.perturb import perturb_sequence
-            from ivf_tpu.viz import visualize_results
-
-            for j in range(len(kept)):
-                tag = str(ids_k[j])
-                out_folder = os.path.join(
-                    save_dir,
-                    "cam_saved_images",
-                    str(int(labels_np[kept[j]])),
-                    f"{tag}g_{int(pred[j])}",
-                    "combined",
-                )
-                pert = np.asarray(
-                    perturb_sequence(
-                        clips_k[j],
-                        jnp.asarray(masks_np[j]),
-                        mk.mask_perturb_type,
-                    )
-                )
-                visualize_results(
-                    np.asarray(clips_k[j]),
-                    pert,
-                    masks_np[j],
-                    root_dir=out_folder,
-                    case=tag,
-                    mark_imgs=True,
-                )
+    # drain the staging buffers (the only padded launches of the run)
+    if mk.min_score > 0.0:
+        _flush_pending(final=True)
+    _flush_ready(final=True)
+    if stats is not None:
+        stats.update(run_stats)
 
     with open(
         os.path.join(

@@ -91,6 +91,10 @@ class ModelConfig:
     # activation and L2 kernel regularization feeding the training loss.
     recurrent_activation: str = "sigmoid"  # sigmoid | hard_sigmoid
     kernel_l2: float = 0.0  # L2 regularizer strength on conv kernels
+    # Inference top-k width: KTH drivers report top-3 (inference_kth.py:10
+    # TOP_X=3), smth top-5. None derives it from the model family
+    # (api.infer); set explicitly to override.
+    top_k: Optional[int] = None
 
 
 @dataclass
@@ -132,6 +136,10 @@ class MaskConfig:
     eta: float = 1e-5
     early_stop: bool = False  # reference's early stop is dead code; see
     # interpret/mask_opt.py
+    # freeze perturbation inside the search loop: closed-form transition
+    # matrix (fast, ~1e-4 reassociation drift) vs the bit-exact scan —
+    # set False for exact-parity comparison runs (interpret/perturb.py)
+    closed_form: bool = True
     kth_clips_filter: bool = False  # use the KTH clips-of-interest whitelist
     # (FindMasksComparison_I3D_KTH.py:154-205)
 

@@ -134,12 +134,28 @@ class KTHFrameDataset:
 
 
 class RecordDataset:
-    """Clips out of ivfrecords shards (see records.py)."""
+    """Clips out of record shards — native ``.ivfrecords`` (records.py) or
+    the reference's ``.tfrecords`` (tfrecords.py), dispatched per extension
+    so reference-produced datasets load through the same stack."""
 
     def __init__(self, paths, clip_size: Optional[int] = None, get_item_id=False):
-        from ivf_tpu.data.records import RecordReader
+        if isinstance(paths, (str, os.PathLike)):
+            paths = [paths]
+        paths = [str(p) for p in paths]
+        is_tf = [p.endswith((".tfrecord", ".tfrecords")) for p in paths]
+        if any(is_tf):
+            if not all(is_tf):
+                raise ValueError(
+                    "cannot mix .tfrecords and .ivfrecords shards in one "
+                    f"dataset: {paths}"
+                )
+            from ivf_tpu.data.tfrecords import TFRecordReader
 
-        self.reader = RecordReader(paths)
+            self.reader = TFRecordReader(paths)
+        else:
+            from ivf_tpu.data.records import RecordReader
+
+            self.reader = RecordReader(paths)
         self.clip_size = clip_size
         self.get_item_id = get_item_id
 

@@ -124,6 +124,7 @@ def init_mask_random(key: jax.Array, t: int, dtype=jnp.float32) -> jax.Array:
         "perturbation_type",
         "early_stop",
         "lr",
+        "closed_form",
     ),
 )
 def find_mask(
@@ -138,6 +139,7 @@ def find_mask(
     perturbation_type: str = "freeze",
     early_stop: bool = False,
     eta: float = 1e-5,
+    closed_form: bool = True,
 ) -> MaskSearchResult:
     """Optimize a temporal mask for one clip (vmap over clips for batches).
 
@@ -151,11 +153,14 @@ def find_mask(
         m = jax.nn.sigmoid(logits)
         l1 = lam1 * jnp.sum(jnp.abs(m))
         tv = lam2 * tv_norm(m, 3.0, 3.0)
-        # closed_form: the freeze transition matrix as a few fused HLOs
-        # instead of a 2(T-1)-op scan per step (fwd + transpose) — identical
-        # math up to ~1e-4 float reassociation; the 60-step trajectory
-        # parity test vs the reference stays green (tests/test_interpret.py)
-        perturbed = perturb_sequence(seq, m, perturbation_type, closed_form=True)
+        # closed_form (default True): the freeze transition matrix as a few
+        # fused HLOs instead of a 2(T-1)-op scan per step (fwd + transpose)
+        # — identical math up to ~1e-4 float reassociation; set
+        # closed_form=False (MaskConfig.closed_form) for the bit-exact scan
+        # path in exact-parity comparison runs
+        perturbed = perturb_sequence(
+            seq, m, perturbation_type, closed_form=closed_form
+        )
         class_score = score_fn(perturbed)[target]
         total = l1 + tv + class_score
         return total, (l1, tv, class_score)

@@ -96,8 +96,10 @@ def freeze_perturb(
     ``use_matrix=False`` keeps the literal lax.scan recurrence.
     ``closed_form=True`` additionally builds the transition matrix without
     its T-step scan (see ``freeze_transition_matrix``) — bit-parity drifts
-    ~1e-4 relative worst-case from log/exp reassociation, so the exact scan
-    stays the default; the mask-search hot loop opts in (mask_opt.py).
+    ~1e-4 relative worst-case from log/exp reassociation. This function
+    defaults to the exact scan; the mask-search hot loop defaults to the
+    closed form, switchable via ``MaskConfig.closed_form`` for exact-parity
+    comparison runs (mask_opt.py).
     """
     m = mask.astype(seq.dtype)
     if use_matrix:

@@ -75,7 +75,15 @@ class Checkpointer:
             "step": 0,
             "best_loss": float("inf"),
         }
-        restored = self._saver.restore(self._path(name), template)
+        try:
+            restored = self._saver.restore(self._path(name), template)
+        except BaseException:
+            # checkpoints written before best_loss existed (v0.1.0) fail
+            # orbax's strict tree matching — retry without the key and
+            # default best_loss to inf rather than breaking --resume
+            del template["best_loss"]
+            restored = self._saver.restore(self._path(name), template)
+            restored["best_loss"] = float("inf")
         params = restored["params"]
         if skip_logits:
             params = dict(params)

@@ -502,6 +502,123 @@ def test_find_masks_kth_filter_no_matches(e2e_cfg):
     assert tm == [] and gc == []
 
 
+class _SyntheticClipDataset:
+    """In-memory indexable dataset for loader/driver tests: uint8 clips,
+    alternating labels so a class filter keeps a strided subset."""
+
+    def __init__(self, n=8, t=8, hw=32, n_classes=2):
+        rng = np.random.RandomState(0)
+        self.clips = rng.randint(0, 255, (n, t, hw, hw, 3)).astype(np.uint8)
+        self.labels = [i % n_classes for i in range(n)]
+
+    def __len__(self):
+        return len(self.labels)
+
+    def __getitem__(self, i):
+        return self.clips[i], self.labels[i], f"clip{i}"
+
+
+def test_find_masks_compacts_filtered_batches(tmp_path):
+    """Class-of-interest filtering keeps ~1/174 of clips in the reference
+    workload (FindMasksComparison_I3D_smth.py:168-174). Kept clips must be
+    compacted ACROSS loader batches into full search batches — not padded
+    per loader batch — so the 300-step search never burns FLOPs on padding
+    (round-3 occupancy fix)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ivf_tpu.api import build_model
+
+    cfg = Config.from_dict(
+        {
+            "model_name": "compact_fm",
+            "output_dir": str(tmp_path / "out"),
+            "conv_model": "clstm",
+            "num_classes": 2,
+            "batch_size": 4,
+            "clip_size": 8,
+            "input_spatial_size": 32,
+            "clstm_hidden": 4,
+            "clstm_layers": 1,
+            "conv_stride": 1,
+            "dropout": 0.0,
+            "num_workers": 1,
+        }
+    )
+    cfg.model.effective_steps = (3, 7)
+    cfg.mask.opt_iter = 2
+    cfg.mask.class_oi = 0  # alternating labels -> 2 kept per loader batch
+
+    model = build_model(cfg, softmax_override=True)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 32, 32, 3))
+    )
+    stats = {}
+    tm, _gc = find_masks(
+        cfg,
+        variables,
+        dataset=_SyntheticClipDataset(n=8),
+        save_viz=False,
+        do_gradcam=False,
+        stats=stats,
+    )
+    # 8 clips, filter keeps the 4 even-indexed ones -> exactly ONE full
+    # search launch with zero padding (per-loader-batch padding would have
+    # launched twice at 50% occupancy)
+    assert len(tm) == 4
+    assert {r["video_id"] for r in tm} == {f"clip{i}" for i in (0, 2, 4, 6)}
+    assert stats["search_launches"] == 1
+    assert stats["searched_rows"] == 4
+    assert stats["padded_rows"] == 0
+    assert all(r["true_class"] == 0 for r in tm)
+
+
+def test_find_masks_final_flush_handles_remainder(tmp_path):
+    """The tail that doesn't fill a batch still runs (padded final flush) —
+    and drop_last no longer silently discards it."""
+    import jax
+    import jax.numpy as jnp
+
+    from ivf_tpu.api import build_model
+
+    cfg = Config.from_dict(
+        {
+            "model_name": "tail_fm",
+            "output_dir": str(tmp_path / "out"),
+            "conv_model": "clstm",
+            "num_classes": 2,
+            "batch_size": 4,
+            "clip_size": 8,
+            "input_spatial_size": 32,
+            "clstm_hidden": 4,
+            "clstm_layers": 1,
+            "conv_stride": 1,
+            "dropout": 0.0,
+            "num_workers": 1,
+        }
+    )
+    cfg.model.effective_steps = (3, 7)
+    cfg.mask.opt_iter = 2
+
+    model = build_model(cfg, softmax_override=True)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 32, 32, 3))
+    )
+    stats = {}
+    tm, _gc = find_masks(
+        cfg,
+        variables,
+        dataset=_SyntheticClipDataset(n=6),  # 4 + a 2-clip tail
+        save_viz=False,
+        do_gradcam=False,
+        stats=stats,
+    )
+    assert len(tm) == 6
+    assert stats["search_launches"] == 2
+    assert stats["searched_rows"] == 6
+    assert stats["padded_rows"] == 2  # only the final flush pads
+
+
 @pytest.mark.slow
 def test_e2e_find_masks_data_parallel_matches_single(e2e_cfg):
     """find_masks over a 4-device data mesh returns the same masks/scores
