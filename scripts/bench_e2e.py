@@ -1,0 +1,161 @@
+"""End-to-end mask-search throughput through the PRODUCTION driver.
+
+Unlike bench.py (which times the inner search program alone), this runs
+``api.find_masks`` itself — loader, class filtering, compacted staging,
+central init probes, batched 300-step search, Grad-CAM, reverse/orig
+scores, result assembly — and reports **masks/minute/chip**, the unit of
+BASELINE.md's north star (full 24,777-clip smth val + Grad-CAM < 10 min on
+v5e-8), for two workloads:
+
+  * unfiltered: every clip searched (the bench.py-comparable case);
+  * classOI-filtered: labels uniform over 174 classes, class_oi=0 — the
+    reference's real workload (FindMasksComparison_I3D_smth.py:168-174
+    keeps ~1/174 of clips). With cross-batch compaction the per-mask cost
+    should match the unfiltered case (occupancy ~100%); before round 3 the
+    per-loader-batch padding made it up to batch_size x worse.
+
+Synthetic in-memory uint8 clips: keeps the number about the driver + chip,
+not this bench host's 1-core JPEG decode (host pipeline measured
+separately in PERF.md).
+
+Usage: python scripts/bench_e2e.py [--clips 256] [--batch 128]
+       [--steps 300] [--filtered-mult 4] [--no-gradcam]
+"""
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class SyntheticClips:
+    """Indexable uint8 clip dataset; labels round-robin over num_classes."""
+
+    def __init__(self, n, t=16, hw=224, num_classes=174, seed=0):
+        rng = np.random.RandomState(seed)
+        # one base clip + per-clip offsets: cheap to build, distinct inputs
+        self.base = rng.randint(0, 235, (t, hw, hw, 3)).astype(np.uint8)
+        self.n = n
+        self.num_classes = num_classes
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        clip = self.base + np.uint8(i % 19)
+        return clip, i % self.num_classes, f"clip{i}"
+
+
+def run_case(cfg, variables, dataset, label, do_gradcam):
+    from ivf_tpu.api import find_masks
+
+    stats = {}
+    t0 = time.time()
+    tm, gc = find_masks(
+        cfg,
+        variables,
+        dataset=dataset,
+        save_viz=False,
+        do_gradcam=do_gradcam,
+        stats=stats,
+    )
+    dt = time.time() - t0
+    n = len(tm)
+    occ = (
+        stats["searched_rows"]
+        / max(stats["search_launches"] * cfg.data.batch_size, 1)
+    )
+    out = {
+        "masks": n,
+        "minutes": round(dt / 60, 2),
+        "masks_per_minute_per_chip": round(n / (dt / 60), 1),
+        "search_occupancy": round(occ, 3),
+        **stats,
+    }
+    print(f"{label}: {out}", flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--no-gradcam", action="store_true")
+    args = ap.parse_args()
+
+    from ivf_tpu.config import Config
+    from ivf_tpu.models import i3d_smth
+    import ivf_tpu.api as api_mod
+
+    cfg = Config.from_dict(
+        {
+            "model_name": "bench_e2e",
+            "output_dir": tempfile.mkdtemp(),
+            "conv_model": "i3d_smth",
+            "num_classes": 174,
+            "batch_size": args.batch,
+            "clip_size": 16,
+            "input_spatial_size": 224,
+            "dropout": 0.0,
+            "num_workers": 4,
+        }
+    )
+    cfg.mask.opt_iter = args.steps
+    cfg.model.compute_dtype = "bfloat16"
+
+    model = i3d_smth(
+        num_classes=174, dropout_rate=0.0, softmax=True,
+        stem_s2d=True, fold_bn=True, fuse_1x1=True,
+    )
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 224, 224, 3))
+    )
+    orig_bm = api_mod.build_model
+    api_mod.build_model = lambda c, softmax_override=None: model
+    results = {"batch": args.batch, "steps": args.steps}
+    try:
+        # warm pass compiles every program (score/init/search/cam) on a
+        # tiny clip count so the measured runs are compile-free
+        warm_ds = SyntheticClips(args.batch, num_classes=174)
+        t0 = time.time()
+        run_case(cfg, variables, warm_ds, "warm(compile)", not args.no_gradcam)
+        results["compile_warm_s"] = round(time.time() - t0, 1)
+
+        results["unfiltered"] = run_case(
+            cfg,
+            variables,
+            SyntheticClips(args.clips, num_classes=174),
+            "unfiltered",
+            not args.no_gradcam,
+        )
+
+        # the reference's real workload: 1/174 of clips kept — size the raw
+        # set so kept == one full batch (the compaction turns what used to
+        # be ~batch_size padded launches into ONE full launch; filtered
+        # clips never touch the device, so the host label scan is the only
+        # extra cost)
+        n_raw = args.batch * 174
+        cfg.mask.class_oi = 0
+        results["classOI"] = run_case(
+            cfg,
+            variables,
+            SyntheticClips(n_raw, num_classes=174),
+            f"classOI (1/174 of {n_raw} clips)",
+            not args.no_gradcam,
+        )
+    finally:
+        api_mod.build_model = orig_bm
+    print(json.dumps({"e2e_find_masks": results}))
+
+
+if __name__ == "__main__":
+    main()

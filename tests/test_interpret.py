@@ -128,10 +128,13 @@ def _make_score_pair(t=16, num_classes=5, seed=3):
 @pytest.mark.parametrize("perturbation_type", ["freeze", "reverse"])
 @pytest.mark.slow
 def test_find_mask_full_trajectory_parity(ref_mask, perturbation_type):
-    """300-step Adam mask optimization: ours vs a torch replica of the
-    reference loop (FindMasksComparison_I3D_smth.py:188-214) using the
-    reference's own perturb/TV functions."""
-    t, n_steps, lam1, lam2 = 16, 60, 0.01, 0.02
+    """FULL 300-step Adam mask optimization (the reference's production
+    budget, FindMasksComparison_I3D_smth.py:115-119): ours vs a torch
+    replica of the reference loop (lines 188-214) using the reference's own
+    perturb/TV functions, on a cheap temporally-sensitive stub score model.
+    The same gate on the real synced-weight I3D runs in
+    test_mask_loss_parity_real_i3d / scripts/mask_parity_check.py."""
+    t, n_steps, lam1, lam2 = 16, 300, 0.01, 0.02
     seq = _rand_seq(t=t, seed=5)
     score_jax, score_torch = _make_score_pair(t=t)
     target = 2
@@ -159,7 +162,7 @@ def test_find_mask_full_trajectory_parity(ref_mask, perturbation_type):
     ref_final_mask = torch.sigmoid(time_mask).detach().numpy()
     ref_final_loss = float(loss)
 
-    # --- ours ---
+    # --- ours (closed_form=False: the bit-exact scan path for parity) ---
     res = find_mask(
         score_jax,
         jnp.asarray(seq),
@@ -169,8 +172,23 @@ def test_find_mask_full_trajectory_parity(ref_mask, perturbation_type):
         lam1=lam1,
         lam2=lam2,
         perturbation_type=perturbation_type,
+        closed_form=False,
     )
     np.testing.assert_allclose(np.asarray(res.mask), ref_final_mask, rtol=1e-3, atol=1e-4)
+    # the production fast path (closed_form=True) must satisfy the 1%
+    # mask-loss gate (BASELINE.md:31) over the full 300-step trajectory
+    res_cf = find_mask(
+        score_jax,
+        jnp.asarray(seq),
+        target,
+        jnp.asarray(init_logits),
+        n_steps=n_steps,
+        lam1=lam1,
+        lam2=lam2,
+        perturbation_type=perturbation_type,
+        closed_form=True,
+    )
+    np.testing.assert_allclose(float(res_cf.loss), ref_final_loss, rtol=1e-2)
     # reported loss/freeze_score are the LAST IN-LOOP values (computed at
     # the pre-final-step logits), exactly what the reference records — the
     # torch replica's `loss`/`class_score` from the final iteration
@@ -190,6 +208,92 @@ def test_find_mask_full_trajectory_parity(ref_mask, perturbation_type):
             ]
         )
     np.testing.assert_allclose(float(res.reverse_score), rev_ref, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_mask_loss_parity_real_i3d(reference_pt_path):
+    """BASELINE.md:31 gate on the REAL model: importer-synced I3D (KTH head
+    — the smallest shape the reference's hardcoded (t,4,5) logits pool
+    accepts), central init, full reference loop semantics. Runs a reduced
+    step budget by default (regression guard); set IVF_FULL_PARITY=1 for
+    the full 300-step gate (~25 min on this host — the full measurement
+    with 4 clips + the bf16 production path lives in
+    scripts/mask_parity_check.py, results in PERF.md)."""
+    import importlib
+    import os as _os
+
+    import torch as _torch
+
+    from ivf_tpu.models import i3d_kth
+    from ivf_tpu.utils.import_torch import i3d_state_dict_to_variables
+
+    n_steps = 300 if _os.environ.get("IVF_FULL_PARITY") else 40
+    n_clips, t_len, lam1, lam2 = 2, 16, 0.02, 0.04
+
+    ref_mask_mod = importlib.import_module("mask")
+    ref_mod = importlib.import_module("models.I3D_doubled_kth")
+    _torch.manual_seed(0)
+    ref = ref_mod.Model(
+        num_classes=6,
+        finalTimeLength=2,
+        dropout_keep_prob=0.0,
+        stride_mod_layers="",
+        softMax=True,
+    )
+    ref.eval()
+    variables = i3d_state_dict_to_variables(ref.state_dict())
+    model = i3d_kth(
+        num_classes=6, final_time_length=2, dropout_rate=0.0, softmax=True
+    )
+    score_fn = lambda clip: model.apply(variables, clip[None], train=False)[0]
+
+    rng = np.random.RandomState(1)
+    clips = rng.randn(n_clips, t_len, 120, 160, 3).astype(np.float32)
+    targets = [2, 5]
+    inits = np.stack(
+        [
+            np.asarray(
+                init_mask_central(
+                    score_fn, jnp.asarray(clips[i]), targets[i]
+                )
+            )
+            for i in range(n_clips)
+        ]
+    )
+
+    for i in range(n_clips):
+        seq_t = torch.from_numpy(
+            np.ascontiguousarray(clips[i].transpose(3, 0, 1, 2))[None]
+        )
+        time_mask = torch.tensor(inits[i], requires_grad=True)
+        optimizer = torch.optim.Adam([time_mask], lr=0.2)
+        for _ in range(n_steps):
+            mask_clip = torch.sigmoid(time_mask)
+            l1 = lam1 * torch.sum(torch.abs(mask_clip))
+            tv = lam2 * ref_mask_mod.calc_tv_norm(mask_clip, p=3, q=3)
+            class_loss = ref(
+                ref_mask_mod.perturb_sequence(
+                    seq_t, mask_clip, perturbation_type="freeze"
+                )
+            )[0, targets[i]]
+            loss = l1 + tv + class_loss
+            optimizer.zero_grad()
+            loss.backward()
+            optimizer.step()
+        ref_loss = float(loss.detach())
+
+        res = find_mask(
+            score_fn,
+            jnp.asarray(clips[i]),
+            targets[i],
+            jnp.asarray(inits[i]),
+            n_steps=n_steps,
+            lam1=lam1,
+            lam2=lam2,
+            closed_form=True,  # the production fast path IS the gated path
+        )
+        rel = abs(float(res.loss) - ref_loss) / max(abs(ref_loss), 1e-9)
+        assert rel <= 1e-2, f"clip {i}: rel loss dev {rel:.3e} > 1%"
 
 
 def test_find_mask_early_stop_freezes_updates():

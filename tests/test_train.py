@@ -319,3 +319,45 @@ def test_tensor_parallel_i3d_matches_single():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-3, atol=1e-4
     )
+
+
+@pytest.mark.slow
+def test_checkpoint_restore_tolerates_missing_best_loss(tmp_path):
+    """v0.1.0 checkpoints were written without 'best_loss'; restore() must
+    not break --resume on them (ADVICE r2): it retries without the key and
+    defaults best_loss to inf."""
+    import orbax.checkpoint as ocp
+
+    from ivf_tpu.utils.checkpoint import Checkpointer
+
+    model = CNN3D(num_classes=3, dropout_rate=0.0)
+    clips, _labels = _synthetic_clips(4, t=4, hw=32)
+    tx = build_optimizer("sgd", 0.05)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.asarray(clips[:2]), tx
+    )
+    # hand-write a legacy checkpoint WITHOUT best_loss
+    legacy = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "epoch": 3,
+        "step": state.step,
+    }
+    path = str(tmp_path / "run" / "checkpoint")
+    saver = ocp.StandardCheckpointer()
+    saver.save(path, legacy)
+    saver.wait_until_finished()
+
+    ckpt = Checkpointer(str(tmp_path / "run"))
+    state2 = create_train_state(
+        model, jax.random.PRNGKey(5), jnp.asarray(clips[:2]), tx
+    )
+    restored, start_epoch, best_loss = ckpt.restore(state2)
+    assert start_epoch == 4
+    assert best_loss == float("inf")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        restored.params,
+        state.params,
+    )
