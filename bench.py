@@ -91,6 +91,14 @@ def timed(run, args, salt0: float) -> float:
     return time.time() - t0
 
 
+def timed3(run, args, first_salt: float = 1.0):
+    """3 timed repeats (distinct salts defeat the tunnel's memoization);
+    returns (min, median, samples) — VERDICT r2 weak #6: single/min-of-2
+    samples were too thin for numbers cited as results."""
+    dts = [timed(run, args, first_salt + k) for k in range(3)]
+    return min(dts), sorted(dts)[1], dts
+
+
 def main():
     t_start = time.time()
     # 120 steps per jit call: close to the production 300-step schedule's
@@ -99,7 +107,7 @@ def main():
     batch, n_steps = 128, 120
     run_b, args_b = build(batch, n_steps, dtype="bfloat16")
     timed(run_b, args_b, 0.0)  # compile + warm
-    dt_b = min(timed(run_b, args_b, 1.0), timed(run_b, args_b, 2.0))
+    dt_b, dt_b_med, dts_b = timed3(run_b, args_b)
     batched_sps = batch * n_steps / dt_b
 
     # reference-style schedule for the baseline: one clip per call, f32,
@@ -109,7 +117,7 @@ def main():
     # and inflates vs_baseline
     run_s, args_s = build(1, n_steps, optimized=False)
     timed(run_s, args_s, 0.0)
-    dt_s = min(timed(run_s, args_s, 1.0), timed(run_s, args_s, 2.0))
+    dt_s, dt_s_med, dts_s = timed3(run_s, args_s)
     sequential_sps = n_steps / dt_s
 
     result = {
@@ -134,6 +142,13 @@ def main():
         "extrapolated_v5e8_full_smth_val_minutes": round(
             full_val_steps / (8 * batched_sps) / 60, 1
         ),
+        # variance evidence: min is the headline (least-noise estimate of
+        # the program's cost on a tunnel with ~2x latency jitter), median
+        # shows the spread
+        "headline_steps_per_sec_median": round(batch * n_steps / dt_b_med, 2),
+        "headline_time_samples_s": [round(x, 3) for x in dts_b],
+        "sequential_steps_per_sec_median": round(n_steps / dt_s_med, 2),
+        "sequential_time_samples_s": [round(x, 3) for x in dts_s],
     }
     if time.time() - t_start < 520:
         try:  # secondary metrics must never fail the bench
@@ -166,10 +181,14 @@ def inference_throughput():
             acc, _ = lax.scan(body, 0.0, jnp.arange(n_iters, dtype=jnp.float32))
             return acc
 
-        float(run(clips, jnp.float32(0)))
-        t0 = time.time()
-        float(run(clips, jnp.float32(1)))
-        return clips.shape[0] * n_iters / (time.time() - t0)
+        float(run(clips, jnp.float32(0)))  # compile + warm
+        dts = []
+        for salt in (1, 2, 3):  # min + median of 3 (variance evidence)
+            t0 = time.time()
+            float(run(clips, jnp.float32(salt)))
+            dts.append(time.time() - t0)
+        n = clips.shape[0] * n_iters
+        return n / min(dts), n / sorted(dts)[1]
 
     i3d = i3d_smth(num_classes=174, dropout_rate=0.0)
     clips = jax.random.normal(key, (64, 16, 224, 224, 3), jnp.float32)
@@ -177,7 +196,9 @@ def inference_throughput():
     v = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, v
     )
-    out["i3d_inference_clips_per_sec"] = round(measure(i3d, clips, v), 1)
+    mn, med = measure(i3d, clips, v)
+    out["i3d_inference_clips_per_sec"] = round(mn, 1)
+    out["i3d_inference_clips_per_sec_median"] = round(med, 1)
 
     clstm = ConvLSTMClassifier(
         num_classes=6,
@@ -191,7 +212,9 @@ def inference_throughput():
     v2 = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, v2
     )
-    out["convlstm_inference_clips_per_sec"] = round(measure(clstm, kclips, v2), 1)
+    mn, med = measure(clstm, kclips, v2)
+    out["convlstm_inference_clips_per_sec"] = round(mn, 1)
+    out["convlstm_inference_clips_per_sec_median"] = round(med, 1)
     return out
 
 
