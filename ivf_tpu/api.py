@@ -75,6 +75,14 @@ def build_model(cfg: Config, softmax_override: Optional[bool] = None):
         )
         # Keras 'same' with stride 1 / odd kernels equals torch symmetric
         padding = "valid" if m.padding_clstm == "valid" else "torch"
+        # recurrence strategy (PERF.md round 3): unrolled is measured
+        # fastest at every reference clip length and the scan grad fails
+        # to compile at production mask-search batches; scan+remat is the
+        # long-T compile-size escape hatch
+        if m.clstm_scan == "auto":
+            use_scan = cfg.data.clip_size > 64
+        else:
+            use_scan = m.clstm_scan == "scan"
         return ConvLSTMClassifier(
             head="gap" if "gap" in name else "fc",
             num_classes=m.num_classes,
@@ -97,6 +105,8 @@ def build_model(cfg: Config, softmax_override: Optional[bool] = None):
             # per-layer BN for the TF family (one BN per block,
             # clstm.py:49); the torch family keeps its shared-BN quirk
             shared_bn=(m.block_order != "tf"),
+            use_scan=use_scan,
+            remat=use_scan,  # plain scan's grad does not compile (PERF.md)
             use_pallas=m.use_pallas,
         )
     return get_model(m.conv_model, num_classes=m.num_classes)

@@ -91,6 +91,12 @@ class ModelConfig:
     # activation and L2 kernel regularization feeding the training loss.
     recurrent_activation: str = "sigmoid"  # sigmoid | hard_sigmoid
     kernel_l2: float = 0.0  # L2 regularizer strength on conv kernels
+    # ConvLSTM recurrence compilation strategy: 'unrolled' (O(T) HLOs,
+    # measured fastest at every reference shape), 'scan' (nn.scan + remat,
+    # O(1) HLOs in T — 10-30x compile-time cut, ~30% slower steady state),
+    # or 'auto': unrolled for clip_size <= 64 (every reference workload),
+    # scan beyond that where HLO count would blow up. PERF.md round 3.
+    clstm_scan: str = "auto"  # auto | scan | unrolled
     # Inference top-k width: KTH drivers report top-3 (inference_kth.py:10
     # TOP_X=3), smth top-5. None derives it from the model family
     # (api.infer); set explicitly to override.

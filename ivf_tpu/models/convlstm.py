@@ -117,8 +117,14 @@ class ConvLSTM(nn.Module):
     unit_forget_bias: bool = False
     x_padding: str = "torch"  # torch | valid (Keras padding='valid')
     # nn.scan recurrence (one compiled step body, O(1) HLOs in T) vs the
-    # compile-time-unrolled loop (O(T) HLOs; kept for comparison/debug)
-    use_scan: bool = True
+    # compile-time-unrolled loop (O(T) HLOs). Unrolled is the default: on
+    # the bench TPU it is ~40% faster at steady state (204 vs 145 train
+    # clips/s; 326 vs 217 mask-steps/s at batch 16) and the scan path's
+    # gradient fails to compile at production mask-search batches (>=32) —
+    # remat is then forced, and its per-step body recompute IS the measured
+    # gap (PERF.md round 3). scan remains the right choice for long-T
+    # compile-size protection (ModelConfig.clstm_scan='auto' picks per T).
+    use_scan: bool = False
     remat: bool = False  # rematerialize carries in the scan body
 
     def setup(self):
@@ -316,7 +322,7 @@ class ConvLSTMClassifier(nn.Module):
     recurrent_activation: str = "sigmoid"
     unit_forget_bias: bool = False
     x_padding: str = "torch"
-    use_scan: bool = True
+    use_scan: bool = False  # see ConvLSTM.use_scan for the measured rationale
     remat: bool = False
     use_pallas: bool = False  # fused gate math via ops/pallas/fused_gates
 

@@ -245,3 +245,27 @@ def test_reference_config_files_load_verbatim(name):
     assert cfg.data.batch_size > 0 and cfg.data.clip_size in (16, 32)
     model = build_model(cfg)
     assert model.num_classes == cfg.model.num_classes
+
+
+def test_clstm_scan_config_resolution():
+    """clstm_scan ('auto'|'scan'|'unrolled') resolves the measured-fastest
+    recurrence per clip length (PERF.md round 3): unrolled for every
+    reference shape, scan+remat only as the long-T compile-size hatch."""
+    from ivf_tpu.api import build_model
+    from ivf_tpu.config import Config
+
+    cfg = Config.from_dict({"conv_model": "clstm", "num_classes": 6})
+    m = build_model(cfg)  # auto, clip_size=16 -> unrolled
+    assert m.use_scan is False and m.remat is False
+
+    cfg.data.clip_size = 128  # auto, long T -> scan (+ remat: plain scan
+    assert build_model(cfg).use_scan is True  # grad does not compile)
+    assert build_model(cfg).remat is True
+
+    cfg.model.clstm_scan = "scan"
+    cfg.data.clip_size = 16
+    assert build_model(cfg).use_scan is True
+
+    cfg.model.clstm_scan = "unrolled"
+    cfg.data.clip_size = 128
+    assert build_model(cfg).use_scan is False
