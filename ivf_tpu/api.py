@@ -502,22 +502,69 @@ def find_masks(
             )
         )
     )
-    search_batch = hot_jit(
-        jax.vmap(
-            partial(
-                find_mask,
-                score_fn,
-                n_steps=mk.opt_iter,
-                lam1=mk.lam1,
-                lam2=mk.lam2,
-                lr=mk.opt_lr,
-                perturbation_type=mk.mask_perturb_type,
-                early_stop=mk.early_stop,
-                eta=mk.eta,
-                closed_form=mk.closed_form,
+    search_kwargs = dict(
+        lam1=mk.lam1,
+        lam2=mk.lam2,
+        lr=mk.opt_lr,
+        perturbation_type=mk.mask_perturb_type,
+        early_stop=mk.early_stop,
+        eta=mk.eta,
+        closed_form=mk.closed_form,
+    )
+    # segment length: the axon tunnel kills single executions >~1 min (a
+    # batch-128 300-step search runs ~85 s), so the search there runs as
+    # chained segments threading the exact loop carry — bit-identical math
+    # (MaskConfig.chunk_steps; see interpret/mask_opt.py::search_segment)
+    chunk = mk.chunk_steps or (
+        100 if jax.default_backend() == "axon" else mk.opt_iter
+    )
+    if chunk >= mk.opt_iter:
+        search_batch = hot_jit(
+            jax.vmap(
+                partial(find_mask, score_fn, n_steps=mk.opt_iter, **search_kwargs)
             )
         )
-    )
+    else:
+        from ivf_tpu.interpret.mask_opt import (
+            finalize_search,
+            make_search_carry,
+            search_segment,
+        )
+
+        n_full, rem = divmod(mk.opt_iter, chunk)
+        carry0_batch = hot_jit(
+            jax.vmap(partial(make_search_carry, lr=mk.opt_lr))
+        )
+        seg_batch = hot_jit(
+            jax.vmap(
+                partial(search_segment, score_fn, n_steps=chunk, **search_kwargs)
+            )
+        )
+        rem_batch = (
+            hot_jit(
+                jax.vmap(
+                    partial(
+                        search_segment, score_fn, n_steps=rem, **search_kwargs
+                    )
+                )
+            )
+            if rem
+            else None
+        )
+        fin_batch = hot_jit(jax.vmap(partial(finalize_search, score_fn)))
+
+        def search_batch(clips, targets, inits):
+            carry = carry0_batch(inits)
+            for _ in range(n_full):
+                carry = seg_batch(clips, targets, carry)
+                # synchronize between segments: async dispatch would chain
+                # them into one continuous device run, defeating the whole
+                # point of chunking on execution-time-capped backends (the
+                # dispatch gap is ~30 ms against a ~30 s segment)
+                jax.block_until_ready(carry)
+            if rem_batch is not None:
+                carry = rem_batch(clips, targets, carry)
+            return fin_batch(clips, targets, carry)
 
     subset_ids = None
     if mk.subset_file:

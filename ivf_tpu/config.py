@@ -148,6 +148,13 @@ class MaskConfig:
     closed_form: bool = True
     kth_clips_filter: bool = False  # use the KTH clips-of-interest whitelist
     # (FindMasksComparison_I3D_KTH.py:154-205)
+    # Search execution chunking: the opt_iter-step search runs as ceil-
+    # divided segments of this many steps, threading the exact loop carry
+    # (logits + Adam state) across programs — bit-identical to one long
+    # scan. None = auto: 100-step segments on the axon tunnel (which kills
+    # single executions >~1 min; a batch-128 300-step program runs ~85 s),
+    # monolithic elsewhere. Set an int to force a segment length.
+    chunk_steps: Optional[int] = None
 
 
 @dataclass

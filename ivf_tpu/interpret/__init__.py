@@ -10,6 +10,9 @@ from ivf_tpu.interpret.mask_opt import (
     init_mask_central,
     init_mask_random,
     find_mask,
+    make_search_carry,
+    search_segment,
+    finalize_search,
     MaskSearchResult,
 )
 from ivf_tpu.interpret.gradcam import grad_cam
@@ -30,6 +33,9 @@ __all__ = [
     "init_mask_central",
     "init_mask_random",
     "find_mask",
+    "make_search_carry",
+    "search_segment",
+    "finalize_search",
     "MaskSearchResult",
     "grad_cam",
     "grad_cam_image",

@@ -93,10 +93,16 @@ def init_mask_central(
         seq.dtype
     )
 
-    perturbed = jax.vmap(
-        lambda m: perturb_sequence(seq, m, perturbation_type=mask_type)
-    )(cand_masks)
-    cand_scores = jax.vmap(probe)(perturbed)
+    # lax.map (not vmap): the candidates run sequentially so that, under an
+    # outer per-clip vmap at production batch, in-flight memory is ONE
+    # batch-wide forward rather than n_cand+2 of them (batch 128 x 9 probes
+    # = 24.6G > HBM). The init is ~9 forwards vs the search's 300 fwd+bwd,
+    # so serializing candidates costs nothing end to end. The perturbed
+    # clip is built inside the body so all candidates never coexist.
+    cand_scores = jax.lax.map(
+        lambda m: probe(perturb_sequence(seq, m, perturbation_type=mask_type)),
+        cand_masks,
+    )
     ratios = (orig_score - cand_scores) / (orig_score - frozen_score)
     below = ratios < threshold
     first_below = jnp.argmax(below)  # 0 if none True
@@ -116,36 +122,12 @@ def init_mask_random(key: jax.Array, t: int, dtype=jnp.float32) -> jax.Array:
     return mask.at[min(8, t - 1)].add(jnp.where(all_same, 0.1, 0.0))
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "score_fn",
-        "n_steps",
-        "perturbation_type",
-        "early_stop",
-        "lr",
-        "closed_form",
-    ),
-)
-def find_mask(
-    score_fn: ScoreFn,
-    seq: jax.Array,
-    target: jax.Array,
-    mask_init_logits: jax.Array,
-    n_steps: int = 300,
-    lam1: float = 0.01,
-    lam2: float = 0.02,
-    lr: float = 0.2,
-    perturbation_type: str = "freeze",
-    early_stop: bool = False,
-    eta: float = 1e-5,
-    closed_form: bool = True,
-) -> MaskSearchResult:
-    """Optimize a temporal mask for one clip (vmap over clips for batches).
-
-    score_fn must return post-softmax class probabilities; only the mask
-    logits receive gradients (model params are closed over / stopped).
-    """
+def _search_pieces(
+    score_fn, seq, target, lam1, lam2, lr, perturbation_type,
+    early_stop, eta, closed_form,
+):
+    """Shared loss/step construction for the monolithic and the chunked
+    search paths — one definition so they are the same math by construction."""
     target = jnp.asarray(target)
     opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
 
@@ -182,11 +164,20 @@ def find_mask(
         n_run = n_run + active.astype(jnp.int32)
         return (logits, opt_state, loss, active, n_run, aux), None
 
+    return opt, loss_fn, step
+
+
+def make_search_carry(mask_init_logits: jax.Array, lr: float = 0.2):
+    """Initial carry for the (chunkable) mask search. The carry is a plain
+    pytree of arrays, so it can cross jit-program boundaries — the basis of
+    the segmented execution in ``api.find_masks`` (some environments cap
+    single-program execution time well under a 300-step search)."""
+    opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
     # loss/aux are always f32 (score_fn output is upcast; the mask logits
     # stay f32 for Adam) regardless of the clip dtype — bf16 clip storage
     # must not change the optimization arithmetic
     zero = jnp.zeros((), jnp.float32)
-    init = (
+    return (
         mask_init_logits,
         opt.init(mask_init_logits),
         jnp.asarray(999999.0, jnp.float32),
@@ -194,12 +185,54 @@ def find_mask(
         jnp.asarray(0, jnp.int32),
         (zero, zero, zero),  # aux placeholder (overwritten on step 1)
     )
-    (logits, _, final_loss, _, n_run, (l1, tv, freeze_score)), _ = jax.lax.scan(
-        step, init, None, length=n_steps
-    )
-    if n_steps == 0:  # degenerate: report metrics at the (unstepped) init
-        final_loss, (l1, tv, freeze_score) = loss_fn(logits)
 
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "score_fn",
+        "n_steps",
+        "perturbation_type",
+        "early_stop",
+        "lr",
+        "closed_form",
+    ),
+)
+def search_segment(
+    score_fn: ScoreFn,
+    seq: jax.Array,
+    target: jax.Array,
+    carry,
+    n_steps: int = 100,
+    lam1: float = 0.01,
+    lam2: float = 0.02,
+    lr: float = 0.2,
+    perturbation_type: str = "freeze",
+    early_stop: bool = False,
+    eta: float = 1e-5,
+    closed_form: bool = True,
+):
+    """``n_steps`` of the mask search from ``carry`` -> new carry. Chaining
+    segments is bit-identical to one long scan (the carry holds the exact
+    loop state: logits, Adam state, last loss, early-stop flag, counters)."""
+    _, _, step = _search_pieces(
+        score_fn, seq, target, lam1, lam2, lr, perturbation_type,
+        early_stop, eta, closed_form,
+    )
+    carry, _ = jax.lax.scan(step, carry, None, length=n_steps)
+    return carry
+
+
+@partial(jax.jit, static_argnames=("score_fn",))
+def finalize_search(
+    score_fn: ScoreFn,
+    seq: jax.Array,
+    target: jax.Array,
+    carry,
+) -> MaskSearchResult:
+    """Carry -> MaskSearchResult (mask + the reverse/orig score forwards)."""
+    target = jnp.asarray(target)
+    logits, _, final_loss, _, n_run, (l1, tv, freeze_score) = carry
     # Reported losses are the LAST IN-LOOP values — computed at the logits
     # before the final Adam step — exactly what the reference writes out
     # (FindMasksComparison_I3D_smth.py:198-239: class_loss.item() is recorded
@@ -218,6 +251,50 @@ def find_mask(
         orig_score=orig_score,
         n_steps_run=n_run,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "score_fn",
+        "n_steps",
+        "perturbation_type",
+        "early_stop",
+        "lr",
+        "closed_form",
+    ),
+)
+def find_mask(
+    score_fn: ScoreFn,
+    seq: jax.Array,
+    target: jax.Array,
+    mask_init_logits: jax.Array,
+    n_steps: int = 300,
+    lam1: float = 0.01,
+    lam2: float = 0.02,
+    lr: float = 0.2,
+    perturbation_type: str = "freeze",
+    early_stop: bool = False,
+    eta: float = 1e-5,
+    closed_form: bool = True,
+) -> MaskSearchResult:
+    """Optimize a temporal mask for one clip (vmap over clips for batches).
+
+    score_fn must return post-softmax class probabilities; only the mask
+    logits receive gradients (model params are closed over / stopped).
+    """
+    target = jnp.asarray(target)
+    _, loss_fn, step = _search_pieces(
+        score_fn, seq, target, lam1, lam2, lr, perturbation_type,
+        early_stop, eta, closed_form,
+    )
+    init = make_search_carry(mask_init_logits, lr)
+    carry, _ = jax.lax.scan(step, init, None, length=n_steps)
+    if n_steps == 0:  # degenerate: report metrics at the (unstepped) init
+        logits, opt_state, _, active, n_run, _ = carry
+        final_loss, aux = loss_fn(carry[0])
+        carry = (logits, opt_state, final_loss, active, n_run, aux)
+    return finalize_search(score_fn, seq, target, carry)
 
 
 def find_mask_batched(

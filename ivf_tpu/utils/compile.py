@@ -11,6 +11,8 @@ compiles get a plain jit.
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 TPU_HOT_COMPILER_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "131072"}
@@ -18,9 +20,14 @@ TPU_HOT_COMPILER_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "131072"}
 
 def hot_jit(fn=None, **jit_kwargs):
     """``jax.jit`` with the measured-faster TPU compiler options (no-op
-    options-wise off-TPU). Usable as ``hot_jit(fn)`` or a decorator."""
-    if jax.default_backend() in ("tpu", "axon"):
-        jit_kwargs.setdefault("compiler_options", TPU_HOT_COMPILER_OPTS)
+    options-wise off-TPU). Usable as ``hot_jit(fn)`` or a decorator.
+
+    ``IVF_HOT_JIT=0`` disables the extra options (plain jit everywhere) —
+    the escape hatch for environments where options-bearing programs
+    bypass compile caches or misbehave."""
+    if os.environ.get("IVF_HOT_JIT", "1") != "0":
+        if jax.default_backend() in ("tpu", "axon"):
+            jit_kwargs.setdefault("compiler_options", TPU_HOT_COMPILER_OPTS)
     if fn is None:
         return lambda f: jax.jit(f, **jit_kwargs)
     return jax.jit(fn, **jit_kwargs)

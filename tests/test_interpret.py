@@ -640,3 +640,92 @@ def test_find_mask_bf16_clip_storage():
     np.testing.assert_allclose(
         np.asarray(r16.mask, np.float32), np.asarray(r32.mask), atol=0.05
     )
+
+
+def test_chunked_search_bit_identical_to_monolithic():
+    """Segmented execution (make_search_carry -> search_segment chain ->
+    finalize_search — the api.find_masks path on execution-time-capped
+    backends, MaskConfig.chunk_steps) is BIT-identical to one find_mask
+    call: the carry holds the exact loop state incl. Adam moments."""
+    from ivf_tpu.interpret.mask_opt import (
+        find_mask,
+        finalize_search,
+        make_search_carry,
+        search_segment,
+    )
+
+    score_jax, _ = _make_score_pair()
+    seq = _rand_seq(seed=11)
+    target = jnp.asarray(2)
+    init = jnp.where(jnp.arange(16) % 2 == 0, 5.0, -5.0).astype(jnp.float32)
+
+    mono = find_mask(score_jax, seq, target, init, n_steps=50)
+
+    carry = make_search_carry(init)
+    for n in (20, 20, 10):  # 50 = 20+20+10, uneven tail like 300=100x3
+        carry = search_segment(score_jax, seq, target, carry, n_steps=n)
+    seg = finalize_search(score_jax, seq, target, carry)
+
+    for a, b in zip(mono, seg):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_find_masks_chunked_matches_monolithic_e2e(tmp_path):
+    """api.find_masks with chunk_steps set produces identical masks/scores
+    to the monolithic default (CPU backend auto = monolithic)."""
+    from ivf_tpu.api import find_masks
+    from ivf_tpu.config import Config
+    import ivf_tpu.api as api_mod
+    from ivf_tpu.models import ConvLSTMClassifier
+
+    class _DS:
+        def __init__(self, n=4, t=8, hw=16):
+            r = np.random.RandomState(0)
+            self.clips = r.randint(0, 255, (n, t, hw, hw, 3)).astype(np.uint8)
+
+        def __len__(self):
+            return len(self.clips)
+
+        def __getitem__(self, i):
+            return self.clips[i], i % 3, f"clip{i}"
+
+    model = ConvLSTMClassifier(
+        num_classes=3, nb_lstm_units=4, lstm_layers=1, conv_kernel_size=3,
+        effective_steps=(3, 7), dropout_rate=0.0, add_softmax=True,
+    )
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 16, 16, 3))
+    )
+    results = {}
+    orig_bm = api_mod.build_model
+    api_mod.build_model = lambda c, softmax_override=None: model
+    try:
+        for name, chunk in [("mono", None), ("chunked", 3)]:
+            cfg = Config.from_dict(
+                {
+                    "model_name": f"fmchunk_{name}",
+                    "output_dir": str(tmp_path / name),
+                    "conv_model": "clstm",
+                    "num_classes": 3,
+                    "batch_size": 4,
+                    "clip_size": 8,
+                    "input_spatial_size": 16,
+                    "num_workers": 1,
+                }
+            )
+            cfg.model.effective_steps = (3, 7)
+            cfg.mask.opt_iter = 8
+            cfg.mask.chunk_steps = chunk
+            tm, _ = find_masks(
+                cfg, variables, dataset=_DS(), save_viz=False,
+                do_gradcam=False,
+            )
+            results[name] = tm
+    finally:
+        api_mod.build_model = orig_bm
+
+    assert len(results["mono"]) == len(results["chunked"]) == 4
+    for a, b in zip(results["mono"], results["chunked"]):
+        np.testing.assert_array_equal(a["time_mask"], b["time_mask"])
+        assert a["freeze_score"] == b["freeze_score"]
+        assert a["reverse_score"] == b["reverse_score"]
