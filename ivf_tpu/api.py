@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import time
 from functools import partial
 from typing import Optional
 
@@ -32,6 +33,20 @@ from ivf_tpu.models.i3d import I3D
 _cast_f32 = jax.jit(lambda x: x.astype(jnp.float32))
 # loaders ship uint8 batches (4x fewer host->HBM bytes); this single jitted
 # device-side cast restores the float path for consumers
+
+_TRACE_LAUNCH = os.environ.get("IVF_TRACE_LAUNCH") == "1"
+
+
+def _traced(label: str, dispatch):
+    """Diagnostic for execution-time-capped backends (IVF_TRACE_LAUNCH=1):
+    dispatch one program, block, and print its wall time. Off by default —
+    tracing inserts a sync after the dispatch."""
+    t0 = time.time()
+    out = dispatch()
+    if _TRACE_LAUNCH:
+        jax.block_until_ready(out)
+        print(f"[ivf-launch] {label} {time.time() - t0:.1f}s", flush=True)
+    return out
 
 
 def default_effective_steps(clip_size: int) -> tuple:
@@ -514,10 +529,12 @@ def find_masks(
     # segment length: the axon tunnel kills single executions >~1 min (a
     # batch-128 300-step search runs ~85 s), so the search there runs as
     # chained segments threading the exact loop carry — bit-identical math
-    # (MaskConfig.chunk_steps; see interpret/mask_opt.py::search_segment)
-    chunk = mk.chunk_steps or (
-        100 if jax.default_backend() == "axon" else mk.opt_iter
-    )
+    # (MaskConfig.chunk_steps; see interpret/mask_opt.py::search_segment).
+    # NB the tunnel's backend name is plain "tpu" — on_axon_tunnel() checks
+    # the platform list, not jax.default_backend()
+    from ivf_tpu.utils.compile import on_axon_tunnel
+
+    chunk = mk.chunk_steps or (100 if on_axon_tunnel() else mk.opt_iter)
     if chunk >= mk.opt_iter:
         search_batch = hot_jit(
             jax.vmap(
@@ -554,17 +571,26 @@ def find_masks(
         fin_batch = hot_jit(jax.vmap(partial(finalize_search, score_fn)))
 
         def search_batch(clips, targets, inits):
-            carry = carry0_batch(inits)
-            for _ in range(n_full):
-                carry = seg_batch(clips, targets, carry)
+            carry = _traced("carry0", lambda: carry0_batch(inits))
+            # also fences the (unblocked) central-init program upstream:
+            # its first execution can run tens of seconds, and chaining it
+            # into segment 1 would recreate the >1 min continuous run
+            jax.block_until_ready(carry)
+            for k in range(n_full):
+                carry = _traced(
+                    f"seg{k + 1}", partial(seg_batch, clips, targets, carry)
+                )
                 # synchronize between segments: async dispatch would chain
                 # them into one continuous device run, defeating the whole
                 # point of chunking on execution-time-capped backends (the
                 # dispatch gap is ~30 ms against a ~30 s segment)
                 jax.block_until_ready(carry)
             if rem_batch is not None:
-                carry = rem_batch(clips, targets, carry)
-            return fin_batch(clips, targets, carry)
+                carry = _traced(
+                    "segrem", partial(rem_batch, clips, targets, carry)
+                )
+                jax.block_until_ready(carry)
+            return _traced("finalize", partial(fin_batch, clips, targets, carry))
 
     subset_ids = None
     if mk.subset_file:
@@ -638,7 +664,9 @@ def find_masks(
         if take[0][3] is not None:
             outputs_np = np.stack([r[3] for r in take])
         else:
-            outputs_np = np.asarray(batched_scores(clips_dev))[:n]
+            outputs_np = np.asarray(
+                _traced("scores", partial(batched_scores, clips_dev))
+            )[:n]
             run_stats["score_launches"] += 1
         pred = np.argmax(outputs_np, axis=-1)
         targets_np = pred if mk.grad_cam_type == "guessed" else labels_np
@@ -647,7 +675,9 @@ def find_masks(
         res = masks_np = freeze_np = reverse_np = None
         if run_temp_mask:
             if mk.mask_init_type == "central":
-                inits = init_batch(clips_dev, targets)
+                inits = _traced(
+                    "central-init", partial(init_batch, clips_dev, targets)
+                )
             else:
                 from ivf_tpu.interpret.mask_opt import init_mask_random
 
@@ -661,7 +691,7 @@ def find_masks(
             run_stats["search_launches"] += 1
             run_stats["searched_rows"] += n
             run_stats["padded_rows"] += B - n
-            masks_np = np.asarray(res.mask)[:n]
+            masks_np = np.asarray(_traced("fetch-mask", lambda: res.mask))[:n]
             freeze_np = np.asarray(res.freeze_score)[:n]
             reverse_np = np.asarray(res.reverse_score)[:n]
             for j in range(n):
@@ -683,7 +713,9 @@ def find_masks(
 
         cams = None
         if do_gradcam:
-            cams = np.asarray(cam_batch(clips_dev, targets))[:n]
+            cams = np.asarray(
+                _traced("grad-cam", partial(cam_batch, clips_dev, targets))
+            )[:n]
             for j in range(n):
                 grad_cam_results.append(
                     {

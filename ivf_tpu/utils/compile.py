@@ -18,6 +18,22 @@ import jax
 TPU_HOT_COMPILER_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "131072"}
 
 
+def on_axon_tunnel() -> bool:
+    """True when the device is reached through the axon TPU tunnel.
+
+    The tunnel kills any single program execution running longer than
+    ~1 min, so long searches must run as chained segments there
+    (``MaskConfig.chunk_steps``). The axon plugin registers its PJRT
+    platform as plain ``"tpu"`` — ``jax.default_backend()`` can NOT tell
+    the tunnel from real hardware — so detect via the platform list the
+    plugin/sitecustomize configures (``jax_platforms`` contains "axon").
+    """
+    platforms = jax.config.jax_platforms or os.environ.get(
+        "JAX_PLATFORMS", ""
+    )
+    return "axon" in str(platforms).lower()
+
+
 def hot_jit(fn=None, **jit_kwargs):
     """``jax.jit`` with the measured-faster TPU compiler options (no-op
     options-wise off-TPU). Usable as ``hot_jit(fn)`` or a decorator.

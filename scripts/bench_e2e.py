@@ -24,11 +24,17 @@ Usage: python scripts/bench_e2e.py [--clips 256] [--batch 128]
 
 import argparse
 import json
+import os
 import sys
 import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
+
+# like bench.py: keep every program plain-jit cacheable — hot_jit's
+# compiler options bypass the axon compile server's cache and add 8-15 min
+# of compile variance per run (PERF.md)
+os.environ.setdefault("IVF_HOT_JIT", "0")
 
 import numpy as np
 

@@ -196,3 +196,35 @@ def test_kth_clips_of_interest():
     assert not tag_matches("person17_boxing_d3_1", "original")
     assert tag_matches("person07_boxing_d1_1", "other")
     assert len(clips_of_interest("other")) == 24
+
+
+def test_on_axon_tunnel_detection(monkeypatch):
+    """Regression: the axon tunnel's PJRT platform name is plain "tpu", so
+    jax.default_backend() can NOT detect it — find_masks' auto segment
+    selection must key on the platform list instead. A broken detector
+    silently reverts to the monolithic ~85 s search program, which the
+    tunnel kills mid-execution (round-3 bench_e2e crash series)."""
+    import types
+
+    import ivf_tpu.utils.compile as compile_mod
+    from ivf_tpu.utils.compile import on_axon_tunnel
+
+    # tests force the cpu platform in-process (conftest) -> not the tunnel
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    assert on_axon_tunnel() is False
+
+    def _with_platforms(value):
+        # jax.config.jax_platforms is a read-only property and updating it
+        # re-resolves backends; stub the module's jax reference instead
+        stub = types.SimpleNamespace(
+            config=types.SimpleNamespace(jax_platforms=value)
+        )
+        monkeypatch.setattr(compile_mod, "jax", stub)
+        return on_axon_tunnel()
+
+    assert _with_platforms("axon,cpu") is True
+    assert _with_platforms("tpu") is False
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    assert _with_platforms(None) is True
+    monkeypatch.setenv("JAX_PLATFORMS", "tpu")
+    assert _with_platforms(None) is False
