@@ -480,11 +480,9 @@ def find_masks(
         from ivf_tpu.interpret.gradcam import grad_cam_batched
 
         ffn, hfn = i3d_grad_cam_fns(model, variables, mk.top_layer)
-        cam_batch = hot_jit(
-            lambda clips, tgts: grad_cam_batched(
-                ffn, hfn, clips, tgts, normalize_per_frame=norm_frame
-            )[0]
-        )
+        cam_core = lambda clips, tgts: grad_cam_batched(
+            ffn, hfn, clips, tgts, normalize_per_frame=norm_frame
+        )[0]
     else:
         from ivf_tpu.interpret.gradcam import convlstm_grad_cam
 
@@ -492,31 +490,60 @@ def find_masks(
         # over T,H,W — grad_cam_videos.py:98); the TF family's per-frame
         # weights (mask/gradcam.py:102) apply only to block_order='tf'
         wmode = "per_frame" if cfg.model.block_order == "tf" else "global"
-        cam_batch = hot_jit(
-            jax.vmap(
-                lambda clip, tgt: convlstm_grad_cam(
-                    model,
-                    variables,
-                    clip,
-                    tgt,
-                    normalize_per_frame=norm_frame,
-                    weight_mode=wmode,
-                )[0]
-            )
+        cam_core = jax.vmap(
+            lambda clip, tgt: convlstm_grad_cam(
+                model,
+                variables,
+                clip,
+                tgt,
+                normalize_per_frame=norm_frame,
+                weight_mode=wmode,
+            )[0]
         )
+    # standalone Grad-CAM program — used only when no mask search runs in
+    # the same flush (run_temp_mask=False); otherwise the CAM is fused into
+    # the search/epilogue program below
+    cam_batch = hot_jit(cam_core)
 
     batched_scores = hot_jit(
         lambda clips: model.apply(variables, clips, train=False)
     )
-    init_batch = hot_jit(
-        jax.vmap(
-            partial(
-                init_mask_central,
-                score_fn,
-                mask_type=mk.mask_perturb_type,
-            )
-        )
-    )
+
+    from ivf_tpu.interpret.mask_opt import make_search_carry
+
+    guessed = mk.grad_cam_type == "guessed"
+
+    def _prologue(clips, labels, outputs, rng_keys):
+        """Everything upstream of the first search segment as ONE program:
+        the class-score forward (skipped when a min_score probe already
+        produced outputs), target selection, mask init (central-candidate
+        probes or random), and the Adam carry. Fused because backends with
+        per-program launch overhead on GB-scale operands (the axon tunnel:
+        ~30 s per distinct program carrying the clip batch, PERF.md round-3
+        launch anatomy) otherwise pay it three times per flush."""
+        if outputs is None:
+            outputs = model.apply(variables, clips, train=False)
+        targets = jnp.argmax(outputs, axis=-1) if guessed else labels
+        inits = carry = None
+        if run_temp_mask:
+            if rng_keys is None:  # central init (mask.py:103-154)
+                inits = jax.vmap(
+                    partial(
+                        init_mask_central,
+                        score_fn,
+                        mask_type=mk.mask_perturb_type,
+                    )
+                )(clips, targets)
+            else:  # random init (mask.py:156-165), one key per row
+                from ivf_tpu.interpret.mask_opt import init_mask_random
+
+                t = clips.shape[1]
+                inits = jax.vmap(lambda k: init_mask_random(k, t))(rng_keys)
+            carry = jax.vmap(partial(make_search_carry, lr=mk.opt_lr))(inits)
+        return outputs, targets, inits, carry
+
+    prologue_batch = hot_jit(_prologue)
+
     search_kwargs = dict(
         lam1=mk.lam1,
         lam2=mk.lam2,
@@ -536,22 +563,31 @@ def find_masks(
 
     chunk = mk.chunk_steps or (100 if on_axon_tunnel() else mk.opt_iter)
     if chunk >= mk.opt_iter:
-        search_batch = hot_jit(
-            jax.vmap(
-                partial(find_mask, score_fn, n_steps=mk.opt_iter, **search_kwargs)
+
+        def _search_full(clips, targets, inits):
+            # monolithic: the whole search (carry + scan + finalize) plus
+            # the Grad-CAM in ONE program — find_mask consumes the inits
+            # (its internal carry is identical to the prologue's, which is
+            # simply unused on this path)
+            res = jax.vmap(
+                partial(
+                    find_mask, score_fn, n_steps=mk.opt_iter, **search_kwargs
+                )
+            )(clips, targets, inits)
+            cams = cam_core(clips, targets) if do_gradcam else None
+            return res, cams
+
+        search_and_cam = hot_jit(_search_full)
+
+        def run_search(clips, targets, inits, carry):
+            return _traced(
+                "search+cam", partial(search_and_cam, clips, targets, inits)
             )
-        )
+
     else:
-        from ivf_tpu.interpret.mask_opt import (
-            finalize_search,
-            make_search_carry,
-            search_segment,
-        )
+        from ivf_tpu.interpret.mask_opt import finalize_search, search_segment
 
         n_full, rem = divmod(mk.opt_iter, chunk)
-        carry0_batch = hot_jit(
-            jax.vmap(partial(make_search_carry, lr=mk.opt_lr))
-        )
         seg_batch = hot_jit(
             jax.vmap(
                 partial(search_segment, score_fn, n_steps=chunk, **search_kwargs)
@@ -568,13 +604,21 @@ def find_masks(
             if rem
             else None
         )
-        fin_batch = hot_jit(jax.vmap(partial(finalize_search, score_fn)))
 
-        def search_batch(clips, targets, inits):
-            carry = _traced("carry0", lambda: carry0_batch(inits))
-            # also fences the (unblocked) central-init program upstream:
-            # its first execution can run tens of seconds, and chaining it
-            # into segment 1 would recreate the >1 min continuous run
+        def _epilogue(clips, targets, carry):
+            # finalize (reverse/orig score forwards) + Grad-CAM fused: one
+            # short program instead of two per flush
+            res = jax.vmap(partial(finalize_search, score_fn))(
+                clips, targets, carry
+            )
+            cams = cam_core(clips, targets) if do_gradcam else None
+            return res, cams
+
+        epilogue = hot_jit(_epilogue)
+
+        def run_search(clips, targets, inits, carry):
+            # fence the (async-dispatched) prologue program: chaining it
+            # into segment 1 would recreate a >1 min continuous device run
             jax.block_until_ready(carry)
             for k in range(n_full):
                 carry = _traced(
@@ -590,7 +634,9 @@ def find_masks(
                     "segrem", partial(rem_batch, clips, targets, carry)
                 )
                 jax.block_until_ready(carry)
-            return _traced("finalize", partial(fin_batch, clips, targets, carry))
+            return _traced(
+                "finalize+cam", partial(epilogue, clips, targets, carry)
+            )
 
     subset_ids = None
     if mk.subset_file:
@@ -661,33 +707,29 @@ def find_masks(
         labels_np = np.asarray([r[1] for r in take])
         ids_k = [str(r[2]) for r in take]
         clips_dev = _to_device(_pad_np(clips_np))
-        if take[0][3] is not None:
-            outputs_np = np.stack([r[3] for r in take])
-        else:
-            outputs_np = np.asarray(
-                _traced("scores", partial(batched_scores, clips_dev))
-            )[:n]
+        labels_dev = jnp.asarray(_pad_np(labels_np))
+        outputs_arg = (
+            jnp.asarray(_pad_np(np.stack([r[3] for r in take])))
+            if take[0][3] is not None
+            else None
+        )
+        rng_keys = None
+        if run_temp_mask and mk.mask_init_type != "central":
+            rng_keys = jax.random.split(
+                jax.random.PRNGKey(cfg.seed + flush_idx[0]), B
+            )
+        outputs, targets, inits, carry = _traced(
+            "prologue",
+            partial(prologue_batch, clips_dev, labels_dev, outputs_arg, rng_keys),
+        )
+        if outputs_arg is None:
             run_stats["score_launches"] += 1
+        outputs_np = np.asarray(outputs)[:n]
         pred = np.argmax(outputs_np, axis=-1)
-        targets_np = pred if mk.grad_cam_type == "guessed" else labels_np
-        targets = jnp.asarray(_pad_np(targets_np))
 
-        res = masks_np = freeze_np = reverse_np = None
+        res = cams = masks_np = freeze_np = reverse_np = None
         if run_temp_mask:
-            if mk.mask_init_type == "central":
-                inits = _traced(
-                    "central-init", partial(init_batch, clips_dev, targets)
-                )
-            else:
-                from ivf_tpu.interpret.mask_opt import init_mask_random
-
-                keys = jax.random.split(
-                    jax.random.PRNGKey(cfg.seed + flush_idx[0]), B
-                )
-                inits = jnp.stack(
-                    [init_mask_random(k, cfg.data.clip_size) for k in keys]
-                )
-            res = search_batch(clips_dev, targets, inits)
+            res, cams = run_search(clips_dev, targets, inits, carry)
             run_stats["search_launches"] += 1
             run_stats["searched_rows"] += n
             run_stats["padded_rows"] += B - n
@@ -711,11 +753,12 @@ def find_masks(
                 )
         flush_idx[0] += 1
 
-        cams = None
         if do_gradcam:
-            cams = np.asarray(
-                _traced("grad-cam", partial(cam_batch, clips_dev, targets))
-            )[:n]
+            if cams is None:  # no mask search ran -> standalone CAM program
+                cams = _traced(
+                    "grad-cam", partial(cam_batch, clips_dev, targets)
+                )
+            cams = np.asarray(cams)[:n]
             for j in range(n):
                 grad_cam_results.append(
                     {
