@@ -9,6 +9,11 @@ from ivf_tpu.parallel.mesh import (
     spatial_sharding,
     tensor_parallel_variables,
 )
+from ivf_tpu.parallel.pipeline import (
+    i3d_stage_fns,
+    pipeline_apply,
+    stage_io_shapes,
+)
 
 __all__ = [
     "get_mesh",
@@ -20,4 +25,7 @@ __all__ = [
     "data_sharding",
     "spatial_sharding",
     "tensor_parallel_variables",
+    "i3d_stage_fns",
+    "pipeline_apply",
+    "stage_io_shapes",
 ]

@@ -361,3 +361,67 @@ def test_checkpoint_restore_tolerates_missing_best_loss(tmp_path):
         restored.params,
         state.params,
     )
+
+
+def test_pipeline_harness_matches_sequential():
+    """GPipe harness (parallel/pipeline.py): heterogeneous-shape stages over
+    a 4-device 'stage' mesh == sequential composition. Exercises the flat
+    activation buffer (stages change both width and rank), the lax.switch
+    stage dispatch, the ppermute ring, and the bubble ticks."""
+    from ivf_tpu.parallel import get_mesh
+    from ivf_tpu.parallel.pipeline import pipeline_apply, stage_io_shapes
+
+    assert jax.device_count() >= 4
+    mesh = get_mesh(4, axis_name="stage")
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    w1 = jax.random.normal(ks[0], (6, 10)) * 0.3  # widen
+    w2 = jax.random.normal(ks[1], (10, 3)) * 0.3  # shrink
+    w3 = jax.random.normal(ks[2], (12, 5)) * 0.3  # consumed after reshape
+
+    stages = [
+        lambda x: jnp.tanh(x @ w1),  # (mb,6) -> (mb,10)
+        lambda x: jnp.concatenate([x @ w2, x[:, :1]], -1),  # -> (mb,4)
+        lambda x: (x[:, None, :] * x[:, :, None]).reshape(x.shape[0], -1)[
+            :, :12
+        ],  # rank bump + flatten -> (mb,12)
+        lambda x: jax.nn.softmax(x @ w3, -1),  # -> (mb,5)
+    ]
+    x = jax.random.normal(ks[3], (8, 6))
+    ref = x
+    for f in stages:
+        ref = f(ref)
+
+    shapes = stage_io_shapes(stages, (1, 6))
+    assert [s.shape for s in shapes] == [
+        (1, 6), (1, 10), (1, 4), (1, 12), (1, 5)
+    ]
+    for n_micro in (4, 8):  # minimum bubble and mb=1 cases
+        out = pipeline_apply(stages, x, mesh, n_micro=n_micro)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-7
+        )
+
+
+@pytest.mark.slow
+def test_pipeline_parallel_i3d_matches_single():
+    """4-stage I3D pipeline (trunk split at endpoint boundaries + head stage)
+    over the 'stage' mesh axis matches the single-device forward."""
+    from ivf_tpu.models import i3d_smth
+    from ivf_tpu.parallel import get_mesh
+    from ivf_tpu.parallel.pipeline import i3d_stage_fns, pipeline_apply
+
+    assert jax.device_count() >= 4
+    model = i3d_smth(num_classes=8, dropout_rate=0.0, pool_shape=(2, 2, 2))
+    rng = jax.random.PRNGKey(0)
+    clips = jax.random.normal(rng, (8, 16, 64, 64, 3), jnp.float32)
+    v = jax.jit(model.init)(rng, clips[:1])
+    ref = model.apply(v, clips, train=False)
+
+    mesh = get_mesh(4, axis_name="stage")
+    stages = i3d_stage_fns(model, v, 4)
+    out = jax.jit(
+        lambda x: pipeline_apply(stages, x, mesh, n_micro=8)
+    )(clips)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-3, atol=1e-5
+    )
