@@ -94,6 +94,35 @@ def main(argv=None):
     )
     p.add_argument("--nb-frames", type=int, default=32)
 
+    p = common(sub.add_parser("export-model"))
+    p.add_argument("--out", required=True, help="output .ivfaot artifact path")
+    p.add_argument(
+        "--platforms", nargs="*", default=None, metavar="PLAT",
+        help="target platforms baked into the artifact (e.g. tpu cpu); "
+        "default: the exporting machine's platform",
+    )
+    p.add_argument(
+        "--static-batch", type=int, default=None, metavar="B",
+        help="export a fixed batch size instead of the default "
+        "batch-polymorphic artifact",
+    )
+
+    p = common(sub.add_parser("serve"))
+    p.add_argument("--artifact", help=".ivfaot artifact (skips model build)")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--max-batch", type=int, default=128)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument(
+        "--warmup", action="store_true",
+        help="pre-compile every batch bucket before accepting requests",
+    )
+    p.add_argument(
+        "--smoke", action="store_true",
+        help="POST one synthetic clip to the running server, print the "
+        "response, and exit (e2e self-test)",
+    )
+
     p = sub.add_parser("extract-frames")
     p.add_argument("--json-input", required=True)
     p.add_argument("--json-labels", required=True)
@@ -175,6 +204,10 @@ def main(argv=None):
             )
             if cam_only:
                 print(f"grad-cam: {len(gc_results)} clips (results pickled)")
+        elif args.command == "export-model":
+            _export_model(args)
+        elif args.command == "serve":
+            _serve(args)
         elif args.command == "make-records":
             _make_records(args)
         elif args.command == "inspect-records":
@@ -210,6 +243,103 @@ def main(argv=None):
             extract_dataset(cat.items, args.out_root, args.nb_frames, args.width)
     finally:
         aux_ctx.close()
+
+
+def _eval_cfg(args):
+    cfg = _load_cfg(args)
+    if args.checkpoint:
+        cfg.model.pretrained_model_path = args.checkpoint
+    return cfg
+
+
+def _clip_shape(cfg):
+    from ivf_tpu.api import _clip_hw
+
+    return (cfg.data.clip_size, *_clip_hw(cfg), 3)
+
+
+def _export_model(args):
+    import os
+
+    from ivf_tpu.api import init_eval_state
+    from ivf_tpu.serve import export_forward, save_artifact
+
+    cfg = _eval_cfg(args)
+    model, state = init_eval_state(cfg, softmax_override=True)
+    shape = _clip_shape(cfg)
+    exported = export_forward(
+        model,
+        state.variables(),
+        shape,
+        batch_polymorphic=args.static_batch is None,
+        platforms=args.platforms,
+    )
+    save_artifact(
+        exported,
+        args.out,
+        meta={
+            "family": cfg.model.conv_model,
+            "num_classes": cfg.model.num_classes,
+            "clip_shape": list(shape),
+        },
+    )
+    print(
+        f"exported {cfg.model.conv_model} forward -> {args.out} "
+        f"({os.path.getsize(args.out) / 1e6:.1f} MB, "
+        f"platforms {list(exported.platforms)}, clip {shape})"
+    )
+
+
+def _serve(args):
+    import time
+
+    import numpy as np
+
+    from ivf_tpu.serve import DynamicBatcher, load_artifact, serve_http
+
+    if args.artifact:
+        infer_fn, meta = load_artifact(args.artifact)
+        shape = tuple(meta["clip_shape"])
+    else:
+        import jax
+
+        from ivf_tpu.api import init_eval_state
+
+        cfg = _eval_cfg(args)
+        model, state = init_eval_state(cfg, softmax_override=True)
+        variables = state.variables()
+        infer_fn = jax.jit(lambda x: model.apply(variables, x, train=False))
+        shape = _clip_shape(cfg)
+
+    with DynamicBatcher(
+        infer_fn, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+    ) as batcher:
+        if args.warmup:
+            print(f"warming {len(batcher.buckets)} bucket programs ...")
+            batcher.warmup(shape)
+        server = serve_http(batcher, port=args.port, host=args.host)
+        host, port = server.server_address
+        print(f"serving on http://{host}:{port} (clip shape {shape})")
+        try:
+            if args.smoke:
+                import io
+                import urllib.request
+
+                buf = io.BytesIO()
+                np.save(buf, np.zeros(shape, np.float32))
+                req = urllib.request.Request(
+                    f"http://{host}:{port}/predict", data=buf.getvalue()
+                )
+                body = urllib.request.urlopen(req, timeout=300).read().decode()
+                print(f"smoke response: {body}")
+                print(f"stats: {batcher.stats.summary()}")
+                return
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.shutdown()
 
 
 def _make_records(args):

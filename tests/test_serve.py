@@ -1,0 +1,225 @@
+"""Serving subsystem: AOT artifacts, dynamic batcher, HTTP endpoint.
+
+All on the CPU backend (conftest); artifacts are platform-tagged so the
+same code paths run on TPU unchanged.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ivf_tpu.models import ConvLSTMClassifier
+from ivf_tpu.serve import (
+    DynamicBatcher,
+    export_forward,
+    load_artifact,
+    save_artifact,
+    serve_http,
+)
+
+CLIP = (6, 16, 16, 3)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = ConvLSTMClassifier(
+        num_classes=4,
+        nb_lstm_units=4,
+        lstm_layers=1,
+        conv_kernel_size=3,
+        effective_steps=(2, 5),
+        dropout_rate=0.0,
+        add_softmax=True,
+    )
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, *CLIP))
+    )
+    return model, variables
+
+
+def test_artifact_roundtrip_matches_live(tiny_model, tmp_path):
+    """save_artifact -> load_artifact reproduces the live forward exactly,
+    without touching the model object."""
+    model, variables = tiny_model
+    exported = export_forward(model, variables, CLIP)
+    path = str(tmp_path / "clstm.ivfaot")
+    save_artifact(exported, path, meta={"family": "clstm"})
+
+    call, meta = load_artifact(path)
+    assert meta["family"] == "clstm"
+    x = np.random.RandomState(0).randn(3, *CLIP).astype(np.float32)
+    live = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    aot = np.asarray(call(x))
+    np.testing.assert_allclose(aot, live, rtol=1e-6, atol=1e-7)
+
+
+def test_artifact_batch_polymorphic(tiny_model):
+    """One artifact serves multiple batch sizes (symbolic leading dim)."""
+    model, variables = tiny_model
+    exported = export_forward(model, variables, CLIP)
+    for b in (1, 2, 5):
+        out = exported.call(np.zeros((b, *CLIP), np.float32))
+        assert out.shape == (b, 4)
+
+
+def test_artifact_rejects_garbage(tmp_path):
+    p = tmp_path / "junk.ivfaot"
+    p.write_bytes(b"not an artifact")
+    with pytest.raises(ValueError, match="not an ivf_tpu AOT artifact"):
+        load_artifact(str(p))
+
+
+def test_batcher_results_match_direct(tiny_model):
+    """Concurrent submits through the batcher == direct per-clip inference;
+    padding rows never leak into results."""
+    model, variables = tiny_model
+    infer = jax.jit(lambda x: model.apply(variables, x, train=False))
+    rs = np.random.RandomState(1)
+    clips = rs.randn(13, *CLIP).astype(np.float32)
+    direct = np.asarray(infer(jnp.asarray(clips)))
+
+    with DynamicBatcher(infer, max_batch=8, max_wait_ms=20) as batcher:
+        futs = []
+
+        def submit_range(lo, hi):
+            for i in range(lo, hi):
+                futs.append((i, batcher.submit(clips[i])))
+
+        ts = [
+            threading.Thread(target=submit_range, args=(0, 7)),
+            threading.Thread(target=submit_range, args=(7, 13)),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        results = {i: np.asarray(f.result(timeout=60)) for i, f in futs}
+
+    for i in range(13):
+        np.testing.assert_allclose(results[i], direct[i], rtol=1e-5, atol=1e-6)
+    s = batcher.stats
+    assert s.requests == 13
+    assert s.rows == 13
+    assert s.batches >= 2  # 13 requests can't fit one max_batch=8 batch
+    assert 0 < s.occupancy() <= 1
+    assert len(s.latencies_ms) == 13
+
+
+def test_batcher_bucket_padding():
+    """A single request pads to the smallest bucket, not max_batch."""
+    seen = []
+
+    def infer(x):
+        seen.append(x.shape[0])
+        return np.zeros((x.shape[0], 2), np.float32)
+
+    with DynamicBatcher(infer, max_batch=16, max_wait_ms=1) as b:
+        assert b.buckets == [1, 2, 4, 8, 16]
+        b.submit(np.zeros(CLIP, np.float32)).result(timeout=30)
+    assert seen == [1]
+    assert b.stats.padded_rows == 0
+
+
+def test_batcher_propagates_errors():
+    def infer(x):
+        raise RuntimeError("boom")
+
+    with DynamicBatcher(infer, max_batch=4, max_wait_ms=1) as b:
+        fut = b.submit(np.zeros(CLIP, np.float32))
+        with pytest.raises(RuntimeError, match="boom"):
+            fut.result(timeout=30)
+    # batcher survives a failing batch
+    assert b.stats.batches == 0
+
+
+def test_cli_export_then_serve_smoke(tmp_path, capsys):
+    """`cli export-model` writes an artifact; `cli serve --artifact --smoke`
+    serves it over HTTP, self-tests one request, and exits — the whole
+    deployment path end to end with no model code on the 'serving' side."""
+    import json
+
+    from ivf_tpu.cli import main
+
+    cfg = {
+        "model_name": "serve_smoke",
+        "output_dir": str(tmp_path),
+        "conv_model": "clstm",
+        "num_classes": 3,
+        "clip_size": 5,
+        "input_spatial_size": 16,
+        "clstm_hidden": 4,
+        "clstm_layers": 1,
+        "dropout": 0.0,
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    art = str(tmp_path / "clstm.ivfaot")
+
+    main(["export-model", "-c", str(cfg_path), "--out", art])
+    out = capsys.readouterr().out
+    assert "exported" in out and art in out
+
+    main(
+        [
+            "serve",
+            "--artifact",
+            art,
+            "--port",
+            "0",
+            "--max-batch",
+            "4",
+            "--smoke",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "serving on http://" in out
+    resp = json.loads(out.split("smoke response: ", 1)[1].splitlines()[0])
+    assert len(resp["scores"]) == 3
+    assert resp["top1"] == int(np.argmax(resp["scores"]))
+
+
+def test_http_endpoint(tiny_model):
+    """POST /predict with an npy body -> scores + top1; /stats and
+    /healthz respond."""
+    import io
+    import json
+    import urllib.request
+
+    model, variables = tiny_model
+    infer = jax.jit(lambda x: model.apply(variables, x, train=False))
+    clip = np.random.RandomState(2).randn(*CLIP).astype(np.float32)
+    expect = np.asarray(infer(jnp.asarray(clip)[None]))[0]
+
+    with DynamicBatcher(infer, max_batch=4, max_wait_ms=1) as batcher:
+        server = serve_http(batcher, port=0)
+        try:
+            host, port = server.server_address
+            buf = io.BytesIO()
+            np.save(buf, clip)
+            req = urllib.request.Request(
+                f"http://{host}:{port}/predict", data=buf.getvalue()
+            )
+            resp = json.loads(urllib.request.urlopen(req, timeout=60).read())
+            np.testing.assert_allclose(
+                np.asarray(resp["scores"]), expect, rtol=1e-5, atol=1e-6
+            )
+            assert resp["top1"] == int(np.argmax(expect))
+
+            stats = json.loads(
+                urllib.request.urlopen(
+                    f"http://{host}:{port}/stats", timeout=30
+                ).read()
+            )
+            assert stats["requests"] == 1
+            health = json.loads(
+                urllib.request.urlopen(
+                    f"http://{host}:{port}/healthz", timeout=30
+                ).read()
+            )
+            assert health["ok"] is True
+        finally:
+            server.shutdown()
