@@ -16,7 +16,11 @@ TPU-native design (not a port of anything):
     trunk) travel through one flat f32 buffer sized to the LARGEST
     inter-stage activation, encoded/decoded per stage with static shapes;
   * the pipeline bubble is the standard GPipe ``(S-1)/(M+S-1)`` — pick
-    ``n_micro >= 4*n_stages`` for >75% steady-state occupancy.
+    ``n_micro >= 4*n_stages`` for >75% steady-state occupancy;
+  * the whole schedule is differentiable (jax autodiff through
+    scan/switch/ppermute), so it trains as well as it infers —
+    ``test_pipeline_apply_is_differentiable`` pins input AND parameter
+    grads against the sequential composition.
 
 Scope note (honest costs): parameters and the input microbatches are
 replicated across the stage axis — each device TRACES all stages but
