@@ -1,0 +1,135 @@
+"""Serving-path throughput on the real TPU chip.
+
+Measures the I3D inference path three ways at the production shape
+(16x224x224, bf16 weights):
+  1. direct jitted forward (the ceiling — bench.py's secondary metric);
+  2. the same forward through a jax.export AOT artifact (export ->
+     serialize -> deserialize -> call), quantifying artifact overhead;
+  3. the DynamicBatcher end to end: requests submitted singly from client
+     threads, coalesced into bucket batches, results fanned back out —
+     the serving stack's real clips/s.
+
+Axon timing rules: everything inside one jit where possible, salted
+inputs, fetch a scalar / block, min of N timed repeats after a warm run.
+
+Usage: python scripts/bench_serve.py [--batch 64] [--reps 3]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--rounds", type=int, default=4, help="batches per timed rep")
+    ap.add_argument("--hw", type=int, default=224, help="spatial size (small for CPU smoke)")
+    ap.add_argument("--t", type=int, default=16)
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ivf_tpu.models import i3d_smth
+    from ivf_tpu.serve import DynamicBatcher, export_forward
+
+    kwargs = {}
+    if args.hw < 224:  # tiny-input pool override for CPU smoke
+        kwargs["pool_shape"] = (2, 2, 2)
+    model = i3d_smth(
+        num_classes=174, dropout_rate=0.0, softmax=True,
+        stem_s2d=True, fold_bn=True, fuse_1x1=True, **kwargs,
+    )
+    key = jax.random.PRNGKey(0)
+    b, shape = args.batch, (args.t, args.hw, args.hw, 3)
+    clips = jax.random.normal(key, (b, *shape), jnp.float32)
+    variables = jax.jit(model.init)(key, clips[:1])
+    variables = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if isinstance(a, jax.Array) and a.dtype == jnp.float32
+        else a,
+        variables,
+    )
+
+    def timed(fn, label):
+        fn(0)  # warm/compile
+        best = None
+        for r in range(1, args.reps + 1):
+            t0 = time.perf_counter()
+            for k in range(args.rounds):
+                fn(r * 100 + k)
+            dt = time.perf_counter() - t0
+            rate = b * args.rounds / dt
+            best = rate if best is None else max(best, rate)
+        print(f"{label}: {best:.1f} clips/s/chip (max of {args.reps})")
+        return best
+
+    live = jax.jit(lambda x: model.apply(variables, x, train=False))
+
+    def run_live(salt):
+        jax.block_until_ready(live(clips + salt * 1e-6))
+
+    r_live = timed(run_live, "live jit")
+
+    exported = export_forward(
+        model, variables, shape, dtype=jnp.float32, batch_polymorphic=True
+    )
+    blob = exported.serialize()
+    print(f"artifact: {len(blob) / 1e6:.1f} MB serialized")
+    from jax import export as jexport
+
+    call = jexport.deserialize(blob).call
+
+    def run_aot(salt):
+        jax.block_until_ready(call(clips + salt * 1e-6))
+
+    r_aot = timed(run_aot, "AOT artifact")
+
+    # batcher end to end: single-clip submits from threads
+    host_clips = np.asarray(clips)
+    import threading
+
+    with DynamicBatcher(call, max_batch=b, max_wait_ms=50) as batcher:
+        batcher.warmup(shape)
+
+        def run_batcher(salt):
+            futs = []
+
+            def feed(lo, hi):
+                for i in range(lo, hi):
+                    futs.append(
+                        batcher.submit(host_clips[i] + salt * 1e-6)
+                    )
+
+            ts = [
+                threading.Thread(target=feed, args=(0, b // 2)),
+                threading.Thread(target=feed, args=(b // 2, b)),
+            ]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            for f in futs:
+                f.result(timeout=600)
+
+        r_srv = timed(run_batcher, "DynamicBatcher e2e")
+        print(f"batcher stats: {batcher.stats.summary()}")
+
+    print(
+        f"artifact/live = {r_aot / r_live:.3f}, "
+        f"batcher/live = {r_srv / r_live:.3f}"
+    )
+
+
+if __name__ == "__main__":
+    main()
