@@ -31,6 +31,7 @@ import io
 import json
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from queue import Empty, Queue
@@ -137,7 +138,8 @@ class BatcherStats:
     batches: int = 0
     padded_rows: int = 0
     rows: int = 0
-    latencies_ms: list = field(default_factory=list)
+    # bounded: long-running servers must not grow host memory per request
+    latencies_ms: deque = field(default_factory=lambda: deque(maxlen=10_000))
 
     def occupancy(self) -> float:
         return self.rows / max(1, self.rows + self.padded_rows)
