@@ -6,7 +6,10 @@ with visualization artifacts — the full reference workflow
 (train_*.py -> inference_*.py -> FindMasksComparison_*.py) through the
 public api in ~2 minutes on CPU.
 
-Run:  python examples/quickstart.py [output_dir]
+Run:  python examples/quickstart.py [output_dir] [--cpu]
+
+``--cpu`` forces the CPU backend — use it when no TPU is attached (or the
+attachment is unhealthy): backend discovery otherwise blocks retrying.
 """
 
 import os
@@ -38,7 +41,12 @@ def make_synthetic_dataset(root: str, n_classes=2, clips_per_class=4, t=8, hw=32
 
 
 def main():
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="ivf_quickstart_")
+    argv = [a for a in sys.argv[1:] if a != "--cpu"]
+    if "--cpu" in sys.argv[1:]:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    out_dir = argv[0] if argv else tempfile.mkdtemp(prefix="ivf_quickstart_")
     data_dir = os.path.join(out_dir, "data")
     make_synthetic_dataset(data_dir)
 
