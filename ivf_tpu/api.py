@@ -769,10 +769,13 @@ def find_masks(
                     }
                 )
 
-        if save_viz and run_temp_mask:
+        if save_viz and run_temp_mask and (do_gradcam or is_kth):
             # ONE unified per-clip viz loop (the reference's two back-to-back
             # loops shared the same out_folder); viz perturbations computed
-            # batched+jitted per flush instead of per-clip eager calls
+            # batched+jitted per flush instead of per-clip eager calls.
+            # Gated on (do_gradcam or is_kth): neither branch writes
+            # otherwise, and unconditional makedirs would litter empty
+            # per-clip dirs across a full val run
             from ivf_tpu.viz import create_image_arrays, visualize_results
 
             masks_dev = res.mask  # (B, T) padded — feeds batched perturbs

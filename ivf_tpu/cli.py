@@ -272,6 +272,7 @@ def _export_model(args):
         state.variables(),
         shape,
         batch_polymorphic=args.static_batch is None,
+        static_batch=args.static_batch or 1,
         platforms=args.platforms,
     )
     save_artifact(

@@ -65,6 +65,7 @@ def export_forward(
     input_shape: Sequence[int],
     dtype=jnp.float32,
     batch_polymorphic: bool = True,
+    static_batch: int = 1,
     platforms: Optional[Sequence[str]] = None,
 ):
     """Export ``model.apply(variables, x, train=False)`` as a
@@ -74,9 +75,10 @@ def export_forward(
     e.g. ``(16, 224, 224, 3)``.  With ``batch_polymorphic`` the leading
     dimension is exported as the symbolic size ``b`` — the artifact then
     accepts any batch size and XLA compiles per concrete size at call
-    time (once per bucket under the batcher).  ``platforms`` defaults to
-    the exporting machine's platform; pass ``("tpu", "cpu")`` for an
-    artifact that also smoke-tests on CPU hosts.
+    time (once per bucket under the batcher); otherwise it is fixed at
+    ``static_batch``.  ``platforms`` defaults to the exporting machine's
+    platform; pass ``("tpu", "cpu")`` for an artifact that also
+    smoke-tests on CPU hosts.
     """
     from jax import export as jexport
 
@@ -87,7 +89,7 @@ def export_forward(
         (b,) = jexport.symbolic_shape("b")
         lead = b
     else:
-        lead = 1
+        lead = int(static_batch)
     spec = jax.ShapeDtypeStruct((lead, *input_shape), dtype)
     kwargs = {}
     if platforms is not None:
@@ -140,12 +142,22 @@ class BatcherStats:
     rows: int = 0
     # bounded: long-running servers must not grow host memory per request
     latencies_ms: deque = field(default_factory=lambda: deque(maxlen=10_000))
+    # guards latencies_ms: /stats handlers sort while the worker appends,
+    # and deques raise "mutated during iteration" on concurrent append
+    _lock: threading.Lock = field(
+        default_factory=threading.Lock, repr=False, compare=False
+    )
+
+    def record(self, latency_ms: float) -> None:
+        with self._lock:
+            self.latencies_ms.append(latency_ms)
 
     def occupancy(self) -> float:
         return self.rows / max(1, self.rows + self.padded_rows)
 
     def summary(self) -> dict:
-        lat = sorted(self.latencies_ms)
+        with self._lock:
+            lat = sorted(self.latencies_ms)
 
         def pct(p):
             return lat[min(len(lat) - 1, int(p * len(lat)))] if lat else 0.0
@@ -157,6 +169,18 @@ class BatcherStats:
             "latency_ms_p50": round(pct(0.50), 2),
             "latency_ms_p95": round(pct(0.95), 2),
         }
+
+
+def _safe_set(fut: Future, result=None, exc: Optional[BaseException] = None):
+    """Resolve a future exactly once — shutdown races mean the worker and
+    close()/submit() can both try; the loser must be a no-op, not a crash."""
+    try:
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+    except Exception:  # InvalidStateError: already resolved elsewhere
+        pass
 
 
 class DynamicBatcher:
@@ -203,6 +227,10 @@ class DynamicBatcher:
             raise RuntimeError("batcher is closed")
         fut: Future = Future()
         self._q.put((np.asarray(clip), fut, time.monotonic()))
+        if self._closed:
+            # raced with close(): the worker may already have drained past
+            # this item — make sure the future resolves either way
+            _safe_set(fut, exc=RuntimeError("batcher is closed"))
         return fut
 
     def warmup(self, clip_shape: Sequence[int], dtype=np.float32) -> None:
@@ -215,6 +243,14 @@ class DynamicBatcher:
         self._closed = True
         self._q.put(None)
         self._thread.join(timeout=30)
+        # anything enqueued during the join window: fail, don't hang
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except Empty:
+                break
+            if item is not None:
+                _safe_set(item[1], exc=RuntimeError("batcher is closed"))
 
     def __enter__(self):
         return self
@@ -255,19 +291,32 @@ class DynamicBatcher:
         while True:
             batch = self._drain()
             if batch is None:
+                # shutdown: fail anything that raced past the _closed check
+                # into the queue behind the sentinel, so no future hangs
+                while True:
+                    try:
+                        item = self._q.get_nowait()
+                    except Empty:
+                        break
+                    if item is not None:
+                        _safe_set(
+                            item[1], exc=RuntimeError("batcher is closed")
+                        )
                 return
-            clips = np.stack([c for c, _, _ in batch])
             n = len(batch)
-            b = self._bucket(n)
-            if b > n:  # pad by repeating row 0 (cheapest valid rows)
-                clips = np.concatenate(
-                    [clips, np.repeat(clips[:1], b - n, axis=0)]
-                )
             try:
+                # stack/pad inside the try: a shape-mismatched request must
+                # fail ITS batch's futures, not kill the worker thread
+                clips = np.stack([c for c, _, _ in batch])
+                b = self._bucket(n)
+                if b > n:  # pad by repeating row 0 (cheapest valid rows)
+                    clips = np.concatenate(
+                        [clips, np.repeat(clips[:1], b - n, axis=0)]
+                    )
                 out = np.asarray(self.infer_fn(clips))[:n]
             except Exception as e:  # propagate to every waiter
                 for _, fut, _ in batch:
-                    fut.set_exception(e)
+                    _safe_set(fut, exc=e)
                 continue
             now = time.monotonic()
             st = self.stats
@@ -276,8 +325,8 @@ class DynamicBatcher:
             st.rows += n
             st.padded_rows += b - n
             for j, (_, fut, t0) in enumerate(batch):
-                st.latencies_ms.append((now - t0) * 1e3)
-                fut.set_result(out[j])
+                st.record((now - t0) * 1e3)
+                _safe_set(fut, result=out[j])
 
 
 # ---------------------------------------------------------------------------

@@ -75,14 +75,18 @@ class Checkpointer:
             "step": 0,
             "best_loss": float("inf"),
         }
-        try:
-            restored = self._saver.restore(self._path(name), template)
-        except BaseException:
-            # checkpoints written before best_loss existed (v0.1.0) fail
-            # orbax's strict tree matching — retry without the key and
-            # default best_loss to inf rather than breaking --resume
+        # checkpoints written before best_loss existed (v0.1.0) fail orbax's
+        # strict tree matching — probe the stored keys (metadata read, no
+        # array IO) and default the missing value, instead of a blanket
+        # retry that could mask real restore failures
+        stored_keys = set(
+            self._saver.metadata(self._path(name)).item_metadata.tree
+        )
+        has_best = "best_loss" in stored_keys
+        if not has_best:
             del template["best_loss"]
-            restored = self._saver.restore(self._path(name), template)
+        restored = self._saver.restore(self._path(name), template)
+        if not has_best:
             restored["best_loss"] = float("inf")
         params = restored["params"]
         if skip_logits:

@@ -42,22 +42,7 @@ import jax
 import jax.numpy as jnp
 
 
-class SyntheticClips:
-    """Indexable uint8 clip dataset; labels round-robin over num_classes."""
-
-    def __init__(self, n, t=16, hw=224, num_classes=174, seed=0):
-        rng = np.random.RandomState(seed)
-        # one base clip + per-clip offsets: cheap to build, distinct inputs
-        self.base = rng.randint(0, 235, (t, hw, hw, 3)).astype(np.uint8)
-        self.n = n
-        self.num_classes = num_classes
-
-    def __len__(self):
-        return self.n
-
-    def __getitem__(self, i):
-        clip = self.base + np.uint8(i % 19)
-        return clip, i % self.num_classes, f"clip{i}"
+from ivf_tpu.data.synthetic import SyntheticClips  # noqa: E402
 
 
 def run_case(cfg, variables, dataset, label, do_gradcam):

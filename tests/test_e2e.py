@@ -59,9 +59,17 @@ def e2e_cfg(tmp_path_factory):
     return cfg
 
 
+@pytest.fixture(scope="module")
+def e2e_trained(e2e_cfg):
+    """Train once for the whole module — every consumer (mask search,
+    min_score skip, resume) gets the same state/checkpoints without
+    depending on test ORDER (each works standalone under -k selection)."""
+    return train(e2e_cfg)
+
+
 @pytest.mark.slow
-def test_e2e_train_and_eval(e2e_cfg):
-    state, history = train(e2e_cfg)
+def test_e2e_train_and_eval(e2e_cfg, e2e_trained):
+    state, history = e2e_trained
     assert len(history) == 2
     assert history[-1]["val"]["loss"] < history[0]["val"]["loss"] or (
         history[-1]["val"]["top1"] >= history[0]["val"]["top1"]
@@ -72,13 +80,10 @@ def test_e2e_train_and_eval(e2e_cfg):
     assert os.path.isdir(os.path.join(save_dir, "model_best"))
     assert os.path.exists(os.path.join(save_dir, "plots", "loss_plot.png"))
 
-    # keep state for the mask test via module attribute
-    test_e2e_train_and_eval.state = state
-
 
 @pytest.mark.slow
-def test_e2e_find_masks_with_gradcam(e2e_cfg):
-    state = test_e2e_train_and_eval.state
+def test_e2e_find_masks_with_gradcam(e2e_cfg, e2e_trained):
+    state = e2e_trained[0]
     e2e_cfg.mask.opt_iter = 8
     e2e_cfg.mask.lam1, e2e_cfg.mask.lam2 = 0.01, 0.02
     tm_results, gc_results = find_masks(
@@ -120,11 +125,11 @@ def test_e2e_find_masks_with_gradcam(e2e_cfg):
 
 
 @pytest.mark.slow
-def test_e2e_find_masks_min_score_skip(e2e_cfg):
+def test_e2e_find_masks_min_score_skip(e2e_cfg, e2e_trained):
     """TF drivers' score<threshold clip skip (find_mask_smth.py:364-366):
     an impossible threshold drops every clip; results are empty but the
     pickles are still written."""
-    state = test_e2e_train_and_eval.state
+    state = e2e_trained[0]
     e2e_cfg.mask.opt_iter = 2
     e2e_cfg.mask.min_score = 1.1  # class probs can never reach this
     try:
@@ -179,7 +184,7 @@ def test_e2e_cli_grad_cam(tmp_path):
 
 
 @pytest.mark.slow
-def test_e2e_train_resume_continues_from_epoch(e2e_cfg):
+def test_e2e_train_resume_continues_from_epoch(e2e_cfg, e2e_trained):
     """--resume restores epoch AND best_loss: raising num_epochs 2 -> 3 and
     resuming trains exactly ONE more epoch starting at epoch index 2
     (train_i3d_smth.py:150-152 range(start_epoch, num_epochs) semantics)."""
@@ -488,10 +493,10 @@ def test_make_records_edge_cases(tmp_path):
 
 
 @pytest.mark.slow
-def test_find_masks_kth_filter_no_matches(e2e_cfg):
+def test_find_masks_kth_filter_no_matches(e2e_cfg, e2e_trained):
     """kth_clips_filter with no matching tags: clean empty results, pickles
     still written."""
-    state = test_e2e_train_and_eval.state
+    state = e2e_trained[0]
     e2e_cfg.mask.kth_clips_filter = True
     try:
         tm, gc = find_masks(
@@ -502,20 +507,7 @@ def test_find_masks_kth_filter_no_matches(e2e_cfg):
     assert tm == [] and gc == []
 
 
-class _SyntheticClipDataset:
-    """In-memory indexable dataset for loader/driver tests: uint8 clips,
-    alternating labels so a class filter keeps a strided subset."""
-
-    def __init__(self, n=8, t=8, hw=32, n_classes=2):
-        rng = np.random.RandomState(0)
-        self.clips = rng.randint(0, 255, (n, t, hw, hw, 3)).astype(np.uint8)
-        self.labels = [i % n_classes for i in range(n)]
-
-    def __len__(self):
-        return len(self.labels)
-
-    def __getitem__(self, i):
-        return self.clips[i], self.labels[i], f"clip{i}"
+from ivf_tpu.data.synthetic import SyntheticClips as _SyntheticClipDataset  # noqa: E402
 
 
 def test_find_masks_compacts_filtered_batches(tmp_path):
@@ -557,7 +549,7 @@ def test_find_masks_compacts_filtered_batches(tmp_path):
     tm, _gc = find_masks(
         cfg,
         variables,
-        dataset=_SyntheticClipDataset(n=8),
+        dataset=_SyntheticClipDataset(8, t=8, hw=32, num_classes=2, lazy=False),
         save_viz=False,
         do_gradcam=False,
         stats=stats,
@@ -608,7 +600,7 @@ def test_find_masks_final_flush_handles_remainder(tmp_path):
     tm, _gc = find_masks(
         cfg,
         variables,
-        dataset=_SyntheticClipDataset(n=6),  # 4 + a 2-clip tail
+        dataset=_SyntheticClipDataset(6, t=8, hw=32, num_classes=2, lazy=False),  # 4 + a 2-clip tail
         save_viz=False,
         do_gradcam=False,
         stats=stats,
@@ -620,13 +612,13 @@ def test_find_masks_final_flush_handles_remainder(tmp_path):
 
 
 @pytest.mark.slow
-def test_e2e_find_masks_data_parallel_matches_single(e2e_cfg):
+def test_e2e_find_masks_data_parallel_matches_single(e2e_cfg, e2e_trained):
     """find_masks over a 4-device data mesh returns the same masks/scores
     as the single-device run (the sharded headline workload end-to-end
     through the public api, not just dryrun_multichip)."""
     from ivf_tpu.parallel import get_mesh
 
-    state = test_e2e_train_and_eval.state
+    state = e2e_trained[0]
     e2e_cfg.mask.opt_iter = 4
     tm_single, _ = find_masks(
         e2e_cfg, state.variables(), max_batches=1, save_viz=False

@@ -678,16 +678,10 @@ def test_find_masks_chunked_matches_monolithic_e2e(tmp_path):
     import ivf_tpu.api as api_mod
     from ivf_tpu.models import ConvLSTMClassifier
 
-    class _DS:
-        def __init__(self, n=4, t=8, hw=16):
-            r = np.random.RandomState(0)
-            self.clips = r.randint(0, 255, (n, t, hw, hw, 3)).astype(np.uint8)
+    from ivf_tpu.data.synthetic import SyntheticClips
 
-        def __len__(self):
-            return len(self.clips)
-
-        def __getitem__(self, i):
-            return self.clips[i], i % 3, f"clip{i}"
+    def _DS(n=4, t=8, hw=16):
+        return SyntheticClips(n, t=t, hw=hw, num_classes=3, lazy=False)
 
     model = ConvLSTMClassifier(
         num_classes=3, nb_lstm_units=4, lstm_layers=1, conv_kernel_size=3,
