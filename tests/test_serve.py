@@ -66,6 +66,49 @@ def test_artifact_batch_polymorphic(tiny_model):
         assert out.shape == (b, 4)
 
 
+def test_artifact_static_batch(tiny_model):
+    """static_batch=N exports exactly batch N (the CLI --static-batch path),
+    not a hardcoded batch 1."""
+    model, variables = tiny_model
+    exported = export_forward(
+        model, variables, CLIP, batch_polymorphic=False, static_batch=3
+    )
+    out = exported.call(np.zeros((3, *CLIP), np.float32))
+    assert out.shape == (3, 4)
+    with pytest.raises(Exception):  # wrong batch must be rejected
+        exported.call(np.zeros((2, *CLIP), np.float32))
+
+
+def test_batcher_survives_bad_request(tiny_model):
+    """A shape-mismatched request fails ITS batch's futures but must not
+    kill the worker thread — later requests still serve."""
+    model, variables = tiny_model
+    infer = jax.jit(lambda x: model.apply(variables, x, train=False))
+    good = np.zeros(CLIP, np.float32)
+    bad = np.zeros((2, *CLIP[1:]), np.float32)  # different T
+    # generous wait so both requests reliably coalesce into ONE batch,
+    # making np.stack (not infer_fn) the failing step
+    with DynamicBatcher(infer, max_batch=4, max_wait_ms=500) as b:
+        f_bad = b.submit(bad)
+        f_good = b.submit(good)  # same drained batch -> np.stack fails
+        with pytest.raises(Exception):
+            f_bad.result(timeout=60)
+        # the co-batched request fails too (shared batch), but the worker
+        # survives: a fresh submit succeeds
+        with pytest.raises(Exception):
+            f_good.result(timeout=60)
+        out = b.submit(good).result(timeout=60)
+        assert out.shape == (4,)
+
+
+def test_batcher_warmup_compiles_buckets(tiny_model):
+    model, variables = tiny_model
+    infer = jax.jit(lambda x: model.apply(variables, x, train=False))
+    with DynamicBatcher(infer, max_batch=4, max_wait_ms=1) as b:
+        b.warmup(CLIP)  # all buckets callable without error
+        assert b.submit(np.zeros(CLIP, np.float32)).result(timeout=60).shape == (4,)
+
+
 def test_artifact_rejects_garbage(tmp_path):
     p = tmp_path / "junk.ivfaot"
     p.write_bytes(b"not an artifact")
