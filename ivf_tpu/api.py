@@ -163,7 +163,6 @@ def build_dataset(cfg: Config, split: str = "train", get_item_id: bool = False):
                 root = alt
         if not os.path.isdir(root):
             root = d.data_folder  # flat numbered-dir layout has no splits
-    if "kth" in cfg.model.conv_model.lower():
         return KTHFrameDataset(root, clip_size=d.clip_size, get_item_id=get_item_id)
     return FrameDirDataset(
         root,
@@ -275,6 +274,18 @@ def train(
             factor=cfg.optim.lr_factor,
             patience=cfg.optim.lr_patience,
         )
+    if start_epoch > 0:
+        # resume truly resumes: continue from the RESTORED (possibly decayed)
+        # learning rate and best metric instead of a fresh scheduler snapping
+        # the LR back to cfg.optim.lr after the first post-resume epoch.
+        # (The reference rebuilds optimizer+scheduler fresh on resume and
+        # loses the decay — train_i3d_smth.py:132-141 — a defect per the
+        # SURVEY §2.4 policy, like its unrestored optimizer moments.)
+        from ivf_tpu.train.optim import get_learning_rate
+
+        scheduler.lr = get_learning_rate(state.opt_state)
+        if hasattr(scheduler, "best") and cfg.optim.lr_schedule != "patience_halving":
+            scheduler.best = best_loss
     plotter = PlotLearning(os.path.join(save_dir, "plots"), cfg.model.num_classes)
     # One ClipLoader reused across epochs: its internal _epoch counter
     # advances per __iter__, reshuffling with seed+epoch like torch's
@@ -889,10 +900,15 @@ def find_masks(
                 [tag_matches(str(i), cfg.split_type) for i in ids]
             )
         for i in np.nonzero(keep)[0]:
+            # copy() the row: a view would pin its WHOLE loader batch in
+            # host RAM, and under selective filters staged rows span many
+            # batches — up to (B-1) full batches of dead memory otherwise
             if mk.min_score > 0.0:
-                pending.append((clips_np[i], int(labels_np[i]), ids[i]))
+                pending.append((clips_np[i].copy(), int(labels_np[i]), ids[i]))
             else:
-                ready.append((clips_np[i], int(labels_np[i]), ids[i], None))
+                ready.append(
+                    (clips_np[i].copy(), int(labels_np[i]), ids[i], None)
+                )
         if mk.min_score > 0.0:
             _flush_pending()
         else:

@@ -96,15 +96,24 @@ class KTHFrameDataset:
         self.root = root
         self.clip_size = clip_size
         self.get_item_id = get_item_id
-        self._n = len(
-            [d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))]
+        # enumerate NUMERIC clip dirs explicitly (sorted by index) rather
+        # than counting all subdirs and assuming contiguous 0-based names:
+        # a stray non-clip dir (.ipynb_checkpoints, plots/) must not shift
+        # or overrun the index space
+        self._dirs = sorted(
+            (
+                d
+                for d in os.listdir(root)
+                if d.isdigit() and os.path.isdir(os.path.join(root, d))
+            ),
+            key=int,
         )
 
     def __len__(self):
-        return self._n
+        return len(self._dirs)
 
     def __getitem__(self, index: int):
-        base = os.path.join(self.root, str(index))
+        base = os.path.join(self.root, self._dirs[index])
         frames = [
             _load_frame(os.path.join(base, f"frame{i + 1:02d}.jpg"))
             for i in range(self.clip_size)
@@ -119,7 +128,7 @@ class KTHFrameDataset:
         return clip, label
 
     def get_payloads(self, index: int):
-        base = os.path.join(self.root, str(index))
+        base = os.path.join(self.root, self._dirs[index])
         payloads = [
             _read_bytes(os.path.join(base, f"frame{i + 1:02d}.jpg"))
             for i in range(self.clip_size)

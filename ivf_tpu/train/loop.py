@@ -125,24 +125,40 @@ def train_epoch(
     """One epoch over ``loader`` yielding (clips, labels) device-ready
     batches. Returns (state, epoch metrics)."""
     meters = {k: AverageMeter() for k in ("loss", "top1", "top5", "batch_time")}
-    t0 = time.time()
+    # Defer metric fetches: a float() per step blocks the host on every
+    # step's completion, serializing dispatch and defeating the loader's
+    # prefetch overlap (worst on high-dispatch-latency backends). Device
+    # scalars are held and drained in bulk at print points / epoch end.
+    pend = []
+
+    def _drain():
+        for m, n in pend:
+            vals = jax.device_get(m)
+            meters["loss"].update(float(vals["loss"]), n)
+            meters["top1"].update(float(vals["top1"]), n)
+            meters["top5"].update(float(vals["top5"]), n)
+        pend.clear()
+
+    t_epoch = time.time()
+    steps = 0
     for i, (clips, labels) in enumerate(loader):
         if max_steps is not None and i >= max_steps:
             break
         state, metrics = train_step(state, clips, labels, rng)
-        n = clips.shape[0]
-        # metric fetch forces completion — cheap scalars only
-        meters["loss"].update(float(metrics["loss"]), n)
-        meters["top1"].update(float(metrics["top1"]), n)
-        meters["top5"].update(float(metrics["top5"]), n)
-        meters["batch_time"].update(time.time() - t0)
-        t0 = time.time()
-        if print_freq and i % print_freq == 0:
-            print(
-                f"  step {i}: loss {meters['loss'].avg:.4f} "
-                f"top1 {meters['top1'].avg:.2f} "
-                f"({meters['batch_time'].avg:.3f}s/batch)"
-            )
+        pend.append((metrics, clips.shape[0]))
+        steps += 1
+        if (print_freq and i % print_freq == 0) or len(pend) >= 64:
+            _drain()
+            if print_freq and i % print_freq == 0:
+                dt = (time.time() - t_epoch) / steps
+                print(
+                    f"  step {i}: loss {meters['loss'].avg:.4f} "
+                    f"top1 {meters['top1'].avg:.2f} "
+                    f"({dt:.3f}s/batch)"
+                )
+    _drain()
+    if steps:
+        meters["batch_time"].update((time.time() - t_epoch) / steps, steps)
     return state, {k: m.avg for k, m in meters.items()}
 
 

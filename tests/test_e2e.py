@@ -199,6 +199,38 @@ def test_e2e_train_resume_continues_from_epoch(e2e_cfg, e2e_trained):
 
 
 @pytest.mark.slow
+def test_e2e_resume_preserves_decayed_lr(e2e_cfg):
+    """Resume must continue from the RESTORED learning rate: a fresh
+    scheduler snapping back to cfg.optim.lr after the first post-resume
+    epoch silently undoes plateau decay (the reference loses the decay
+    entirely by rebuilding its optimizer — train_i3d_smth.py:132-141 — a
+    defect fixed here per the SURVEY §2.4 policy)."""
+    import copy
+
+    from ivf_tpu.train.optim import set_learning_rate
+    from ivf_tpu.utils.checkpoint import Checkpointer
+
+    cfg = copy.deepcopy(e2e_cfg)
+    cfg.model_name = "e2e_lr_resume"
+    cfg.optim.num_epochs = 1
+    state, _ = train(cfg)
+    decayed = cfg.optim.lr / 4
+    state = state.replace(
+        opt_state=set_learning_rate(state.opt_state, decayed)
+    )
+    ckpt = Checkpointer(os.path.join(cfg.output_dir, cfg.model_name))
+    ckpt.save(state, epoch=0, is_best=False, best_loss=0.123)
+
+    cfg.optim.num_epochs = 3
+    _, history = train(cfg, resume=True)
+    assert len(history) == 2
+    # both post-resume epochs run at (or below — plateau may decay further)
+    # the restored LR; neither snaps back to cfg.optim.lr
+    for h in history:
+        assert h["lr"] <= decayed * 1.0001, (h["epoch"], h["lr"])
+
+
+@pytest.mark.slow
 def test_e2e_cli_find_masks(tmp_path):
     """`find-masks --test_run` through the CLI writes both result pickles
     (temp-mask search ran, not just the CAM pass)."""
