@@ -41,9 +41,11 @@ class ConvLSTMCell(nn.Module):
 
     ``recurrent_activation='hard_sigmoid'`` + ``unit_forget_bias=True``
     reproduce the Keras ConvLSTM2D gate semantics of the TF model family
-    (video_features_tf/models/clstm.py:21-50). The spatial padding stays
-    torch-symmetric for both families (the Keras blocks use 'valid' input
-    padding — a deliberate unification, documented in MIGRATION.md)."""
+    (video_features_tf/models/clstm.py:21-50). Spatial padding follows the
+    family: ``x_padding='torch'`` (symmetric (k-1)//2) for the torch
+    models, ``x_padding='valid'`` for the Keras blocks (the TF configs use
+    padding='valid'); the recurrent conv is SAME-padded in both, exactly
+    as Keras does (see ops/convlstm_cell.py)."""
 
     hidden_channels: int
     kernel_size: Tuple[int, int] | int = 5  # may be rectangular, e.g. (3, 5)
@@ -195,6 +197,12 @@ class ConvLSTM(nn.Module):
         b, t = clip.shape[0], clip.shape[1]
         n_layers = len(self.hidden_channels)
         effective = list(self.effective_steps) or [t - 1]
+        # normalize ONCE so scan and unrolled stay bit-identical: the
+        # reference's `if step in effective_step` collection (CLSTM_4 /
+        # convolution_lstm.py) is time-ordered, deduplicated, and silently
+        # skips steps beyond the clip — indexing block_outs[s] raw would
+        # instead reorder/duplicate/trace-fail under scan
+        effective = sorted({s for s in effective if 0 <= s < t}) or [t - 1]
 
         # per-layer zero states with statically computed spatial dims:
         # the cell conv uses torch padding p=(k-1)//2 (or none for 'valid'),

@@ -68,7 +68,7 @@ class I3D(nn.Module):
     last_stride: int = 1
     stride_mod_layers: Tuple[str, ...] = ()
     softmax: bool = False
-    last_relu: Optional[str] = None  # None | 'relu' | 'leaky'
+    last_relu: Optional[str] = None  # None | 'relu' | 'leaky' (dead in the reference -> None) | 'leaky_fixed'
     spatial_squeeze: bool = True
     pool_shape: Optional[Tuple[int, int, int]] = None
     temporal_mean: bool = False  # TF-variant head: mean logits over time
@@ -140,6 +140,13 @@ class I3D(nn.Module):
                     ),
                 )
         if self.last_relu == "leaky":
+            # checkpoint-parity quirk: the reference's 'leaky' branch is DEAD
+            # (I3D_doubled.py:321-325 — the following if/else resets
+            # last_actf to None), so reference 'leaky' checkpoints trained
+            # with NO final activation; reproduce that. 'leaky_fixed' gives
+            # the evidently-intended semantics.
+            act = None
+        elif self.last_relu == "leaky_fixed":
             act = jax.nn.leaky_relu
         elif self.last_relu == "relu":
             act = jax.nn.relu

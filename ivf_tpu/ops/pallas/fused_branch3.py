@@ -219,11 +219,11 @@ def fused_pool_conv(x, w, b, relu=True):
 
 def _vjp_fwd(x, w, b, relu):
     y = _run_fwd(x, w, b, relu)
-    return y, (x, y, w)
+    return y, (x, y, w, b.dtype)
 
 
 def _vjp_bwd(relu, res, g):
-    x, y, w = res
+    x, y, w, b_dtype = res
     dx = _run_bwd(x, y, g, w, relu)
     # weight/bias cotangents via a recomputed pooled tensor (XLA path);
     # dead code under the mask search (no grads w.r.t. variables requested)
@@ -238,7 +238,9 @@ def _vjp_bwd(relu, res, g):
         pooled.astype(jnp.float32),
         ge.astype(jnp.float32),
     ).astype(w.dtype)
-    db = jnp.sum(ge.astype(jnp.float32), axis=(0, 1, 2, 3)).astype(w.dtype)
+    db = jnp.sum(ge.astype(jnp.float32), axis=(0, 1, 2, 3)).astype(
+        b_dtype  # cotangent dtype must match the bias primal, not w/g
+    )
     return dx, dw, db
 
 

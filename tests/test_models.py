@@ -100,6 +100,54 @@ def test_i3d_stride_mod_layers_temporal_resolution():
     assert model.logits_pool_shape() == (8, 7, 7)
 
 
+def test_i3d_last_relu_leaky_is_dead_like_reference():
+    """Checkpoint parity: the reference's lastRelu='leaky' branch is DEAD
+    (I3D_doubled.py:321-325 — the following if/else resets last_actf to
+    None), so 'leaky' must behave as no final activation; 'leaky_fixed'
+    provides the evidently-intended semantics."""
+    # T=16 (trunk T=2) so the (2,2,2) logits pool is non-degenerate, and
+    # random input so some logits are negative (where leaky != identity)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 16, 64, 64, 3))
+    base = I3D(num_classes=16, pool_shape=(2, 2, 2), dropout_rate=0.0)
+    vars_ = base.init(jax.random.PRNGKey(0), x)
+    out_none = np.asarray(base.apply(vars_, x, train=False))
+    assert out_none.size and (out_none < 0).any()  # leaky would bite here
+    out_leaky = I3D(
+        num_classes=16, pool_shape=(2, 2, 2), dropout_rate=0.0,
+        last_relu="leaky",
+    ).apply(vars_, x, train=False)
+    np.testing.assert_array_equal(np.asarray(out_leaky), out_none)
+    out_fixed = I3D(
+        num_classes=16, pool_shape=(2, 2, 2), dropout_rate=0.0,
+        last_relu="leaky_fixed",
+    ).apply(vars_, x, train=False)
+    assert not np.array_equal(np.asarray(out_fixed), out_none)
+
+
+def test_convlstm_effective_steps_out_of_range_scan_matches_unrolled():
+    """effective_steps beyond the clip are silently skipped (the reference's
+    `if step in effective_step` semantics) identically on BOTH recurrence
+    paths — the raw scan indexing used to trace-fail on steps >= T."""
+    kwargs = dict(
+        num_classes=3,
+        nb_lstm_units=4,
+        lstm_layers=1,
+        conv_kernel_size=3,
+        effective_steps=(4, 8, 12, 15),  # T=9: only 4 and 8 exist
+        batch_norm=False,
+        dropout_rate=0.0,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 9, 16, 16, 3))
+    m_unroll = ConvLSTMClassifier(use_scan=False, **kwargs)
+    vars_ = m_unroll.init(jax.random.PRNGKey(1), x)
+    out_u = m_unroll.apply(vars_, x, train=False)
+    m_scan = ConvLSTMClassifier(use_scan=True, **kwargs)
+    out_s = m_scan.apply(vars_, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out_u), rtol=1e-5, atol=1e-6
+    )
+
+
 @pytest.fixture(scope="module")
 def clstm_pair(reference_pt_path):
     import importlib

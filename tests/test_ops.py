@@ -185,6 +185,40 @@ def test_pallas_gate_math_matches_reference_cell(reference_pt_path):
     np.testing.assert_allclose(np.asarray(pc), np.asarray(jc), rtol=1e-5, atol=1e-6)
 
 
+def test_pallas_gate_math_vjp_and_auto_interpret():
+    """The gate kernel is differentiable (custom VJP == autodiff of the jnp
+    gate math) and auto-selects interpret mode off-TPU — use_pallas ConvLSTM
+    must work in grad contexts (mask search, training) on the virtual mesh."""
+    import jax
+    from ivf_tpu.ops.convlstm_cell import fused_gate_math
+    from ivf_tpu.ops.pallas.fused_gates import pallas_gate_math
+
+    ch = 4
+    gx = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4 * ch))
+    gh = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4 * ch))
+    c0 = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, ch))
+
+    # interpret defaults to auto (CPU backend here) — no explicit flag
+    ph, pc = pallas_gate_math(gx, gh, c0)
+    jh, jc = fused_gate_math(gx, gh, c0)
+    np.testing.assert_allclose(np.asarray(ph), np.asarray(jh), rtol=1e-5, atol=1e-6)
+
+    def loss_pl(gx, gh, c0):
+        h, c = pallas_gate_math(gx, gh, c0)
+        return (h * h).sum() + (c * 1.5).sum()
+
+    def loss_ref(gx, gh, c0):
+        h, c = fused_gate_math(gx, gh, c0)
+        return (h * h).sum() + (c * 1.5).sum()
+
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(gx, gh, c0)
+    g_rf = jax.grad(loss_ref, argnums=(0, 1, 2))(gx, gh, c0)
+    for a, b in zip(g_pl, g_rf):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
 @pytest.mark.slow
 def test_pallas_pointwise_conv_matches_jnp():
     import jax
