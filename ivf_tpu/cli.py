@@ -160,10 +160,7 @@ def main(argv=None):
         return get_mesh(n) if n > 1 else None
 
     def _cfg_with_ckpt():
-        cfg = _load_cfg(args)
-        if args.checkpoint:
-            cfg.model.pretrained_model_path = args.checkpoint
-        return cfg
+        return _eval_cfg(args)
 
     try:
         if args.command == "train":
@@ -359,6 +356,10 @@ def _make_records(args):
 
     catalog = FrameDirCatalog(args.frames_root)
     skipped = 0
+    # ONE shared rng across clips — a fresh RandomState(0) per call would
+    # give every same-length clip the identical "random" crop window
+    # (kth.write_kth_subject_records shares its rng the same way)
+    rng = np.random.RandomState(0)
     with RecordWriter(args.out) as w:
         for item in catalog.items:
             # index the actual (sorted) frame filenames — gaps must not
@@ -384,7 +385,7 @@ def _make_records(args):
             elif args.mode == "sample":
                 idxs = sample_fixed_count(1, n, args.nb_frames)
             else:
-                idxs = sample_cohesive_crop(1, n, args.nb_frames)
+                idxs = sample_cohesive_crop(1, n, args.nb_frames, rng)
             frames = np.stack(
                 [
                     _load_frame(os.path.join(item.path, frame_files[i - 1]))

@@ -100,7 +100,10 @@ class KTHDirCatalog:
     def __init__(self, data_root: str):
         self.data_root = data_root
         self.items: List[ListData] = []
-        for idx in sorted(os.listdir(data_root), key=lambda s: int(s) if s.isdigit() else 1 << 30):
+        # Numeric clip dirs only — KTH roots commonly carry stray dirs
+        # ('plots/', '.ipynb_checkpoints/') that have no class.txt; same
+        # filter as KTHFrameDataset (loaders.py).
+        for idx in sorted((d for d in os.listdir(data_root) if d.isdigit()), key=int):
             path = os.path.join(data_root, idx)
             if not os.path.isdir(path):
                 continue

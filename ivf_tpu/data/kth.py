@@ -85,7 +85,13 @@ def write_kth_subject_records(
                     end = _num(row, f"{rep}_end")
                     if start is None or end is None:
                         continue
-                    if mode == "all":
+                    if end <= start:
+                        # Degenerate repetition (end == start): the samplers
+                        # assert 'empty clip' — repeat the single frame
+                        # instead of aborting the whole multi-subject build
+                        # (same guard as cli make-records on 1-frame clips).
+                        idxs = [start] if mode == "all" else [start] * nb_frames
+                    elif mode == "all":
                         idxs = sample_all(start, end)
                     elif mode == "sample":
                         idxs = sample_fixed_count(start, end, nb_frames)

@@ -97,7 +97,19 @@ class RecordWriter:
     def __enter__(self):
         return self
 
-    def __exit__(self, *a):
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:
+            # A build that died mid-dataset must not leave a complete-looking
+            # shard behind: skip the footer (readers reject the truncated
+            # file) and remove it so a later run can't silently train on a
+            # partial dataset.
+            self._f.close()
+            path = self.path
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            return False
         self.close()
 
 

@@ -40,13 +40,19 @@ _CRC_TABLE: List[int] = []
 
 
 def _crc_table() -> List[int]:
+    global _CRC_TABLE
     if not _CRC_TABLE:
         poly = 0x82F63B78
+        table = []
         for i in range(256):
             c = i
             for _ in range(8):
                 c = (c >> 1) ^ poly if c & 1 else c >> 1
-            _CRC_TABLE.append(c)
+            table.append(c)
+        # atomic swap of a fully-built local — readers run from loader
+        # thread pools, and two first-callers appending into the shared
+        # list would interleave and corrupt the table permanently
+        _CRC_TABLE = table
     return _CRC_TABLE
 
 

@@ -25,6 +25,12 @@ def get_mesh(
     """1-D mesh over (up to) all visible devices."""
     devices = jax.devices()
     if n_devices is not None:
+        # loud, not silent: a downsized mesh breaks the caller's per-device
+        # batch math (get_2d_mesh/get_multislice_mesh assert the same way)
+        assert len(devices) >= n_devices, (
+            f"requested {n_devices}-device mesh but only {len(devices)} "
+            f"devices are visible"
+        )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 

@@ -67,6 +67,8 @@ class Checkpointer:
         train_i3d_smth.py:76-88). Returns (state, start_epoch, best_loss) —
         the reference resume restores best_loss too (train_i3d_smth.py:76-88)
         so a worse post-resume epoch can't overwrite model_best."""
+        if skip_logits:
+            return self._restore_skip_logits(state, name, logits_keys)
         template = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -88,19 +90,40 @@ class Checkpointer:
         restored = self._saver.restore(self._path(name), template)
         if not has_best:
             restored["best_loss"] = float("inf")
-        params = restored["params"]
-        if skip_logits:
-            params = dict(params)
-            for k in logits_keys:
-                if k in state.params:
-                    params[k] = state.params[k]
         new_state = state.replace(
-            params=params,
+            params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
             step=restored["step"],
         )
         return new_state, int(restored["epoch"]) + 1, float(restored["best_loss"])
+
+    def _restore_skip_logits(
+        self, state: TrainState, name: str, logits_keys: tuple
+    ) -> tuple[TrainState, int, float]:
+        """Class-count transfer: the checkpoint's classifier head (and its
+        optimizer moments) may have a DIFFERENT class count than ``state``,
+        so a templated restore fails orbax's strict shape matching. Restore
+        template-free instead, keep the fresh head params, and start from a
+        FRESH optimizer — exactly like the reference, which restores only
+        model weights and constructs the optimizer afterwards
+        (train_i3d_smth.py:60-92)."""
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(self._path(name))
+        params = dict(restored["params"])
+        for k in logits_keys:
+            if k in state.params:
+                params[k] = state.params[k]
+        new_state = state.replace(
+            params=params,
+            batch_stats=restored["batch_stats"],
+        )
+        best = restored.get("best_loss")
+        return (
+            new_state,
+            int(restored["epoch"]) + 1,
+            float(best) if best is not None else float("inf"),
+        )
 
     def exists(self, name: str = "checkpoint") -> bool:
         return os.path.exists(self._path(name))

@@ -140,16 +140,21 @@ def create_image_arrays(
     for i in range(t):
         img = input_clip[i].astype(np.float32)
         heatmap = _apply_jet(gradcam_mask[i])[:, :, ::-1]  # BGR->RGB
+        perturbed = perturbed_clip[i].astype(np.float32)
         if resize_to is not None:
             img = cv2.resize(img, tuple(resize_to))
             heatmap = cv2.resize(heatmap, tuple(resize_to))
+            # the reference forgets the perturbed panel (visualisation.py:
+            # 96-130 resizes only img+heatmap) and would crash on the
+            # concatenate below — fixed per the SURVEY §2.4 policy
+            perturbed = cv2.resize(perturbed, tuple(resize_to))
         cam = heatmap.astype(np.float32) + img
         cam = cam / cam.max()
         panel = np.concatenate(
             [
                 img.astype(np.uint8),
                 (255 * cam).astype(np.uint8),
-                perturbed_clip[i].astype(np.uint8),
+                perturbed.astype(np.uint8),
             ],
             axis=1,
         )

@@ -152,6 +152,56 @@ def test_kth_subject_records_and_split(tmp_path):
     assert len(ds) == 4
 
 
+def test_create_image_arrays_resize_to(tmp_path):
+    """resize_to must resize ALL THREE triptych panels — the reference
+    forgets the perturbed one (visualisation.py:96-130) and crashes the
+    concatenate; we fix the defect per the SURVEY §2.4 policy."""
+    from ivf_tpu.viz.render import create_image_arrays
+
+    rng = np.random.RandomState(0)
+    t, h, w = 3, 24, 24
+    clip = rng.randint(0, 255, (t, h, w, 3)).astype(np.uint8)
+    cam = rng.rand(t, h, w).astype(np.float32)
+    mask = np.asarray([0.9, 0.1, 0.8], np.float32)
+    panels = create_image_arrays(
+        clip, cam, mask, clip.copy(), str(tmp_path / "viz"), resize_to=(12, 12)
+    )
+    assert panels.shape == (t, 12, 36, 3)
+    assert os.path.exists(str(tmp_path / "viz" / "mygif.gif"))
+
+
+def test_kth_records_degenerate_repetition(tmp_path):
+    """A CSV row whose repetition has end == start must not abort the build
+    (code-review regression: the samplers assert 'empty clip'); the single
+    frame is repeated instead, like make-records does for 1-frame clips."""
+    from ivf_tpu.data.kth import write_kth_subject_records
+    from ivf_tpu.data.records import RecordReader
+
+    rows = _make_kth_frames(tmp_path / "frames", subjects=(1,))
+    rows[0]["2_start"] = 7
+    rows[0]["2_end"] = 7  # degenerate: zero-length repetition
+    csv_path = tmp_path / "labels.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    paths = write_kth_subject_records(
+        str(csv_path),
+        str(tmp_path / "frames"),
+        str(tmp_path / "records"),
+        mode="sample",
+        nb_frames=4,
+        subjects=(1,),
+    )
+    r = RecordReader(paths[0])
+    assert len(r) == 2  # both repetitions written
+    meta, frames = r.read(1)
+    assert meta["repetition"] == 2 and frames.shape == (4, 16, 20, 3)
+    # all four frames are the same repeated frame07
+    assert np.array_equal(frames[0], frames[1])
+    r.close()
+
+
 def test_profiling_utils(tmp_path):
     from ivf_tpu.utils.profiling import StepTimer, detect_anomaly
 

@@ -131,6 +131,10 @@ def test_kth_dataset(tmp_path):
             _write_jpg(str(d / f"frame{i+1:02d}.jpg"), rng.randint(0, 255, (12, 10, 3)))
         (d / "class.txt").write_text(f"{idx % 2}\n")
         (d / "label.txt").write_text(f"person{idx:02d}_boxing_d1_1\n")
+    # stray non-clip dirs (no class.txt) must be ignored by BOTH the dataset
+    # and the catalog (code-review regression: the catalog crashed on them)
+    (tmp_path / "plots").mkdir()
+    (tmp_path / ".ipynb_checkpoints").mkdir()
     ds = KTHFrameDataset(str(tmp_path), clip_size=4, get_item_id=True)
     assert len(ds) == 3
     clip, label, tag = ds[1]
@@ -138,6 +142,25 @@ def test_kth_dataset(tmp_path):
     assert label == 1 and tag == "person01_boxing_d1_1"
     cat = KTHDirCatalog(str(tmp_path))
     assert len(cat) == 3 and cat.items[2].id == "person02_boxing_d1_1"
+
+
+def test_record_writer_no_partial_shard_on_error(tmp_path):
+    """A build that dies mid-dataset must not leave a complete-looking
+    shard behind (code-review regression: __exit__ wrote the footer
+    unconditionally, so truncated shards loaded as full datasets)."""
+    path = str(tmp_path / "partial.ivfrecords")
+    frame = np.zeros((4, 8, 8, 3), np.uint8)
+    with pytest.raises(RuntimeError):
+        with RecordWriter(path) as w:
+            w.write(frame, label=0, video_id="a")
+            raise RuntimeError("corrupt input mid-build")
+    assert not os.path.exists(path)
+    # the success path still round-trips
+    with RecordWriter(path) as w:
+        w.write(frame, label=0, video_id="a")
+    r = RecordReader(path)
+    assert len(r) == 1
+    r.close()
 
 
 def test_loader_device_placement_8dev(tmp_path):

@@ -524,6 +524,52 @@ def test_make_records_edge_cases(tmp_path):
         assert frames.shape == (4, 8, 8, 3)
 
 
+def test_make_records_cohesive_crop_diversity(tmp_path):
+    """sample_cohesive_crop must share ONE rng across clips (code-review
+    regression: a fresh RandomState(0) per clip gave every same-length clip
+    the identical 'random' crop window)."""
+    from PIL import Image
+
+    root = tmp_path / "frames" / "0"
+    n_clips, n_frames = 8, 40
+    for k in range(n_clips):
+        d = root / f"clip_{k}"
+        d.mkdir(parents=True)
+        for i in range(1, n_frames + 1):
+            # constant-value frames encode their index (JPEG-exact at q95)
+            Image.fromarray(
+                np.full((8, 8, 3), i * 6, dtype=np.uint8)
+            ).save(str(d / f"frame{i:02d}.jpg"), "JPEG", quality=95)
+
+    from ivf_tpu.cli import main
+
+    out = str(tmp_path / "crops.ivfrecords")
+    main(
+        [
+            "make-records",
+            "--frames-root",
+            str(tmp_path / "frames"),
+            "--out",
+            out,
+            "--nb-frames",
+            "4",
+            "--mode",
+            "sample_cohesive_crop",
+        ]
+    )
+    from ivf_tpu.data.records import RecordReader
+
+    r = RecordReader(out)
+    crop_starts = set()
+    for i in range(len(r)):
+        _, frames = r.read(i)
+        crop_starts.add(int(round(float(frames[0].mean()) / 6)))
+    r.close()
+    # 8 clips, 37 possible windows: identical starts across ALL clips means
+    # the rng is being re-seeded per clip
+    assert len(crop_starts) > 1, crop_starts
+
+
 @pytest.mark.slow
 def test_find_masks_kth_filter_no_matches(e2e_cfg, e2e_trained):
     """kth_clips_filter with no matching tags: clean empty results, pickles

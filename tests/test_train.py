@@ -184,6 +184,55 @@ def test_fit_with_scheduler_and_checkpoint(tmp_path):
     )
 
 
+def test_get_mesh_rejects_oversubscription():
+    """Requesting more devices than visible must fail loudly — a silently
+    downsized mesh breaks the caller's per-device batch math."""
+    with pytest.raises(AssertionError):
+        get_mesh(jax.device_count() + 1)
+
+
+def test_restore_skip_logits_across_class_counts(tmp_path):
+    """Class-count transfer (the reference's resume path,
+    train_i3d_smth.py:60-92): restore a 4-class checkpoint into a 2-class
+    model with skip_logits=True, then take a training step. The opt_state
+    must be the FRESH one — orbax restores stored shapes regardless of the
+    template, so keeping the checkpoint's Adam moments (shaped for 4
+    classes) would crash at the first update."""
+    from ivf_tpu.utils.checkpoint import Checkpointer
+
+    clips, labels = _synthetic_clips(4, classes=2)
+    tx = build_optimizer("adam", 0.01)
+
+    big = CNN3D(num_classes=4, dropout_rate=0.0)
+    state_big = create_train_state(
+        big, jax.random.PRNGKey(0), jnp.asarray(clips[:2]), tx
+    )
+    ckpt = Checkpointer(str(tmp_path / "run"))
+    ckpt.save(state_big, epoch=0)
+
+    small = CNN3D(num_classes=2, dropout_rate=0.0)
+    state_small = create_train_state(
+        small, jax.random.PRNGKey(7), jnp.asarray(clips[:2]), tx
+    )
+    fresh_fc = jax.tree.map(np.asarray, state_small.params["fc"])
+    restored, _, _ = ckpt.restore(state_small, skip_logits=True)
+    # head kept fresh (2-class), trunk taken from the checkpoint
+    np.testing.assert_allclose(
+        np.asarray(restored.params["fc"]["kernel"]), fresh_fc["kernel"]
+    )
+    trunk_key = next(k for k in restored.params if k != "fc")
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.params[trunk_key])[0]),
+        np.asarray(jax.tree.leaves(state_big.params[trunk_key])[0]),
+    )
+    # one optimizer update must succeed (stale 4-class moments would throw)
+    train_step = make_train_step(donate=False)
+    restored, metrics = train_step(
+        restored, jnp.asarray(clips), jnp.asarray(labels), jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_data_parallel_8_devices_matches_single():
     """Same batch, sharded over the 8-device mesh vs single device: identical
     loss and updates (XLA collectives == DataParallel semantics)."""
