@@ -320,6 +320,17 @@ def _clip_hw(cfg: Config):
     return (s, s)
 
 
+def _is_kth_run(cfg: Config) -> bool:
+    """KTH-family run detection, shared by infer()'s top-3 gating and
+    find_masks()'s KTH viz/whitelist path: 'kth' in the model or run name,
+    or the KTH-only per-subject record sharding."""
+    return (
+        "kth" in cfg.model.conv_model.lower()
+        or "kth" in cfg.model_name.lower()
+        or bool(cfg.data.train_subjects or cfg.data.val_subjects)
+    )
+
+
 def _load_pretrained(cfg: Config, model, state):
     """Import a reference torch checkpoint (.pth/.pth.tar), a reference TF
     bundle (a ``model.ckpt`` Saver prefix with .index/.data files), or an
@@ -402,27 +413,22 @@ def infer(cfg: Config, state=None, mesh=None, dataset=None, save_npy=True):
         state = replicate(state, mesh)
     dataset = dataset or build_dataset(cfg, "validation")
     loss_type = "nll_on_probs" if cfg.model.soft_max else "cross_entropy"
+    # KTH inference reports top-3 (inference_kth.py:10 TOP_X=3) but keeps
+    # the top5 file name (inference_kth.py:178); smth uses real top-5.
+    # Gate on the model FAMILY, not class count (a 5-class smth debug
+    # subset must still report top-5). Explicit cfg.model.top_k overrides —
+    # and widens the collected matrix so k > 5 isn't silently truncated.
+    k = cfg.model.top_k if cfg.model.top_k else (3 if _is_kth_run(cfg) else 5)
     res = evaluate(
         state,
         build_loader(cfg, dataset, False, mesh),
         make_eval_step(loss_type),
         max_steps=5 if cfg.test_run else None,
         collect_predictions=True,
+        top_k=max(5, k),
     )
     if save_npy:
         save_dir = _save_dir(cfg)
-        # KTH inference reports top-3 (inference_kth.py:10 TOP_X=3) but keeps
-        # the top5 file name (inference_kth.py:178); smth uses real top-5.
-        # Gate on the model FAMILY, not class count (a 5-class smth debug
-        # subset must still report top-5): KTH-ness = 'kth' in the model or
-        # run name, or the KTH-only per-subject record sharding. Explicit
-        # cfg.model.top_k overrides.
-        is_kth = (
-            "kth" in cfg.model.conv_model.lower()
-            or "kth" in cfg.model_name.lower()
-            or bool(cfg.data.train_subjects or cfg.data.val_subjects)
-        )
-        k = cfg.model.top_k if cfg.model.top_k else (3 if is_kth else 5)
         np.save(os.path.join(save_dir, "y_true.npy"), res["y_true"])
         np.save(os.path.join(save_dir, "y_hat.npy"), res["y_hat"])
         np.save(
@@ -478,6 +484,15 @@ def find_masks(
             else a,
             variables,
         )
+    if mesh is not None:
+        # Replicate params over the mesh up front (same as infer()).
+        # Checkpoint-restored variables arrive committed to device 0; as
+        # closure constants jit WOULD reshard them implicitly, but that
+        # re-transfers the whole tree per compiled program — one explicit
+        # replication avoids it.
+        from ivf_tpu.parallel import replicate
+
+        variables = replicate(variables, mesh)
 
     score_fn = lambda clip: model.apply(variables, clip[None], train=False)[
         0
@@ -667,7 +682,7 @@ def find_masks(
     # only on full batches. A single padded final flush drains the
     # remainder — padding rows repeat row 0 and are sliced off host-side.
     B = cfg.data.batch_size
-    is_kth = "kth" in cfg.model.conv_model.lower()
+    is_kth = _is_kth_run(cfg)
     if mesh is not None:
         from ivf_tpu.parallel.mesh import data_sharding
 

@@ -68,8 +68,11 @@ def init_mask_central(
     threshold: float = 0.9,
     mask_type: str = "freeze",
 ) -> jax.Array:
-    """Smallest centered mask whose score drop is >= threshold of the fully
-    perturbed drop (mask.py:121-154). All probes in one batched forward.
+    """Central init, exact reference selection rule (mask.py:121-154):
+    shrink the centered mask and return the FIRST candidate whose score-drop
+    ratio falls BELOW ``threshold`` — i.e. the first mask that no longer
+    drops the score enough (the reference breaks at ``score_ratio <
+    threshold`` and keeps that new_mask). All probes in one batched forward.
 
     Returns pre-sigmoid logits (T,) in {-5, +5}.
     """
@@ -143,7 +146,10 @@ def _search_pieces(
         perturbed = perturb_sequence(
             seq, m, perturbation_type, closed_form=closed_form
         )
-        class_score = score_fn(perturbed)[target]
+        # upcast: a bf16 score_fn must not change the loss/carry dtype (the
+        # make_search_carry aux placeholders are f32, and lax.scan rejects
+        # carry dtype drift)
+        class_score = score_fn(perturbed)[target].astype(jnp.float32)
         total = l1 + tv + class_score
         return total, (l1, tv, class_score)
 

@@ -168,9 +168,11 @@ def evaluate(
     eval_step: Callable,
     max_steps: Optional[int] = None,
     collect_predictions: bool = False,
+    top_k: int = 5,
 ):
-    """Validation pass; optionally collects (y_true, y_hat, top5) like
-    inference_kth.py:154-178."""
+    """Validation pass; optionally collects (y_true, y_hat, top-k, default 5)
+    like inference_kth.py:154-178. ``top_k`` widens the collected prediction
+    matrix (cfg.model.top_k > 5 must not be silently truncated)."""
     meters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
     y_true, y_hat, y_hat_top5 = [], [], []
     for i, (clips, labels) in enumerate(loader):
@@ -186,7 +188,7 @@ def evaluate(
             logits = np.asarray(metrics["logits"])
             y_true.append(np.asarray(labels))
             y_hat.append(logits.argmax(-1))
-            y_hat_top5.append(np.argsort(-logits, axis=-1)[:, :5])
+            y_hat_top5.append(np.argsort(-logits, axis=-1)[:, :top_k])
     out = {k: m.avg for k, m in meters.items()}
     if collect_predictions:
         import numpy as np

@@ -54,30 +54,39 @@ def build_optimizer(
                 optax.scale_by_adadelta(),
                 optax.scale_by_learning_rate(learning_rate),
             )
-        if key == "momentum":
-            chain = _coupled_wd(weight_decay)  # MomentumW when wd > 0
-            chain.append(optax.trace(decay=momentum))
-            chain.append(optax.scale_by_learning_rate(learning_rate))
-            return optax.chain(*chain)
-        if key == "momentum_decoupled":
-            # Loshchilov-style: decay term bypasses the momentum buffer
-            return optax.chain(
+        if key in ("momentum", "momentum_decoupled"):
+            # Both reference spellings are tf.contrib's DECOUPLED decay
+            # (train_kth.py:142-166: 'momentum' w/ wd>0 -> MomentumWOptimizer,
+            # 'momentum_decoupled' -> extend_with_decoupled_weight_decay):
+            # w <- w - wd*w - lr*m. The decay bypasses the momentum buffer
+            # AND is NOT scaled by lr (unlike torch/optax AdamW convention),
+            # so LR-halving schedules leave the regularization strength
+            # unchanged — hence add_decayed_weights(-wd) AFTER the lr scale.
+            chain = [
                 optax.trace(decay=momentum),
-                optax.add_decayed_weights(weight_decay),
                 optax.scale_by_learning_rate(learning_rate),
-            )
+            ]
+            if weight_decay and weight_decay > 0:
+                chain.append(optax.add_decayed_weights(-weight_decay))
+            return optax.chain(*chain)
         raise ValueError(f"Unknown optimizer '{name}'")
 
     return make(lr)
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Update the injected learning rate in an optimizer state."""
+    """Return a copy of ``opt_state`` with the injected learning rate
+    replaced — copy-on-write, so aliases of the old state (best-state
+    snapshots, history entries) keep their original LR."""
     import jax.numpy as jnp
 
     old = opt_state.hyperparams["learning_rate"]
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, old.dtype)
-    return opt_state
+    return opt_state._replace(
+        hyperparams={
+            **opt_state.hyperparams,
+            "learning_rate": jnp.asarray(lr, old.dtype),
+        }
+    )
 
 
 def get_learning_rate(opt_state) -> float:

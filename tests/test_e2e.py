@@ -701,9 +701,14 @@ def test_e2e_find_masks_data_parallel_matches_single(e2e_cfg, e2e_trained):
     tm_single, _ = find_masks(
         e2e_cfg, state.variables(), max_batches=1, save_viz=False
     )
+    # commit variables to a single device first — exactly what a checkpoint
+    # restore produces; find_masks replicates them over the mesh itself
+    import jax
+
+    committed = jax.device_put(state.variables(), jax.devices()[0])
     tm_mesh, _ = find_masks(
         e2e_cfg,
-        state.variables(),
+        committed,
         max_batches=1,
         save_viz=False,
         mesh=get_mesh(4),

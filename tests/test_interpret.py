@@ -642,6 +642,24 @@ def test_find_mask_bf16_clip_storage():
     )
 
 
+def test_find_mask_bf16_score_fn_output():
+    """find_mask must accept a score_fn that RETURNS bf16 (a bf16 model's
+    raw apply) — the loss upcasts internally so the lax.scan carry stays f32
+    (code-review regression: carry-dtype mismatch TypeError)."""
+    rng = np.random.RandomState(12)
+    seq = jnp.asarray(rng.randn(8, 4, 4, 2).astype(np.float32))
+    w = jnp.asarray(rng.randn(6, 2).astype(np.float32) * 0.3)
+
+    def score_fn(clip):
+        pooled = jnp.mean(clip, axis=(0, 1, 2))
+        return jax.nn.softmax(w @ pooled).astype(jnp.bfloat16)
+
+    init = jnp.asarray(rng.randn(8).astype(np.float32))
+    res = find_mask(score_fn, seq, 2, init, n_steps=10)
+    assert res.loss.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(res.loss)))
+
+
 def test_chunked_search_bit_identical_to_monolithic():
     """Segmented execution (make_search_carry -> search_segment chain ->
     finalize_search — the api.find_masks path on execution-time-capped

@@ -68,8 +68,43 @@ def test_lr_injection():
     tx = build_optimizer("adam", 0.01)
     state = tx.init(jnp.zeros(3))
     assert get_learning_rate(state) == pytest.approx(0.01)
+    old = state
     state = set_learning_rate(state, 0.005)
     assert get_learning_rate(state) == pytest.approx(0.005)
+    # copy-on-write: aliases of the old state (best-state snapshots, history
+    # entries) must keep their LR (code-review regression)
+    assert get_learning_rate(old) == pytest.approx(0.01)
+
+
+@pytest.mark.parametrize("name", ["momentum", "momentum_decoupled"])
+def test_momentum_decoupled_wd_matches_tf_contrib(name):
+    """Both reference spellings are tf.contrib's DecoupledWeightDecayExtension
+    over MomentumOptimizer (train_kth.py:142-166): w -= wd*w then
+    w -= lr*(m = mu*m + g). Decay bypasses the momentum buffer and is NOT
+    scaled by lr (code-review regression: it was coupled / lr-scaled)."""
+    lr, mu, wd = 0.1, 0.9, 0.01
+    w_ref = np.array([1.0, -2.0, 3.0], np.float32)
+    m_ref = np.zeros_like(w_ref)
+    tx = build_optimizer(name, lr, momentum=mu, weight_decay=wd)
+    wj = jnp.asarray(w_ref)
+    opt_state = tx.init(wj)
+    grad_fn = jax.grad(lambda w: jnp.sum(jnp.sin(w)))
+    for _ in range(10):
+        g = np.cos(w_ref)  # grad of sum(sin(w)), at PRE-decay weights
+        w_ref = w_ref - wd * w_ref  # tf.contrib applies decay first
+        m_ref = mu * m_ref + g
+        w_ref = w_ref - lr * m_ref
+        updates, opt_state = tx.update(grad_fn(wj), opt_state, wj)
+        wj = wj + updates
+    np.testing.assert_allclose(np.asarray(wj), w_ref, rtol=1e-5, atol=1e-6)
+    # halving the lr must NOT halve the effective weight decay: with a zero
+    # gradient and empty momentum buffer the whole update IS the decay term
+    for lr_probe in (lr, lr / 2):
+        fresh = set_learning_rate(tx.init(wj), lr_probe)
+        updates, _ = tx.update(jnp.zeros(3), fresh, wj)
+        np.testing.assert_allclose(
+            np.asarray(updates), -wd * np.asarray(wj), rtol=1e-6
+        )
 
 
 def test_reduce_lr_on_plateau_torch_semantics():
@@ -182,6 +217,25 @@ def test_fit_with_scheduler_and_checkpoint(tmp_path):
     np.testing.assert_allclose(
         np.asarray(restored3.params["fc"]["kernel"]), fresh_fc["kernel"]
     )
+
+
+def test_evaluate_top_k_width():
+    """cfg.model.top_k > 5 must widen the collected prediction matrix, not
+    silently truncate to 5 columns (code-review regression)."""
+    model = CNN3D(num_classes=8, dropout_rate=0.0)
+    clips, labels = _synthetic_clips(8, classes=8)
+    tx = build_optimizer("sgd", 0.01)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.asarray(clips[:2]), tx
+    )
+    res = evaluate(
+        state,
+        _batches(clips, labels, 4),
+        make_eval_step(),
+        collect_predictions=True,
+        top_k=7,
+    )
+    assert res["y_hat_top5"].shape == (8, 7)
 
 
 def test_get_mesh_rejects_oversubscription():
