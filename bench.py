@@ -99,8 +99,48 @@ def timed3(run, args, first_salt: float = 1.0):
     return min(dts), sorted(dts)[1], dts
 
 
+def _probe_backend(timeout_s: int = 300):
+    """Fail FAST if the TPU attachment is down. When the axon tunnel is
+    fully unhealthy, the first device call blocks forever inside a C retry
+    loop (nanosleep — Python signal handlers never fire), so the probe must
+    be a bounded SUBPROCESS. On timeout, print a parseable primary-metric
+    line with an error note and exit nonzero instead of hanging the
+    driver's whole bench window."""
+    import os
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            check=True,
+            env=os.environ.copy(),
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(
+            json.dumps(
+                {
+                    "metric": "temporal_mask_opt_steps_per_sec_per_chip",
+                    "value": 0,
+                    "unit": "mask-steps/s",
+                    "vs_baseline": 0,
+                    "error": (
+                        f"TPU backend init failed ({type(e).__name__}) — "
+                        "tunnel down; see CLAUDE.md 'tunnel fully down'. "
+                        "Last good measurement: PERF.md round-3 headline."
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        sys.exit(1)
+
+
 def main():
     t_start = time.time()
+    _probe_backend()
     # 120 steps per jit call: close to the production 300-step schedule's
     # tail amortization (the per-clip reverse/orig score forwards), still a
     # bounded bench runtime
