@@ -115,10 +115,22 @@ def decode_batch(
     if lib is None:
         raise RuntimeError("native decoder unavailable")
     n = len(payloads)
+    if n == 0:
+        if height is None or width is None:
+            raise ValueError("empty batch needs explicit height/width")
+        return np.empty((0, height, width, 3), np.uint8)
     if height is None or width is None:
         height, width = jpeg_dims(payloads[0])
     if out is None:
         out = np.empty((n, height, width, 3), np.uint8)
+    else:
+        # the C side writes raw bytes at out.ctypes.data — a wrong shape/
+        # dtype/layout would be silent memory corruption, not an error
+        assert (
+            out.shape == (n, height, width, 3)
+            and out.dtype == np.uint8
+            and out.flags["C_CONTIGUOUS"]
+        ), (out.shape, out.dtype)
     ptrs = (ctypes.c_char_p * n)(*payloads)
     lens = (ctypes.c_size_t * n)(*[len(p) for p in payloads])
     rc = lib.ivf_decode_batch(

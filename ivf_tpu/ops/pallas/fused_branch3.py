@@ -219,11 +219,14 @@ def fused_pool_conv(x, w, b, relu=True):
 
 def _vjp_fwd(x, w, b, relu):
     y = _run_fwd(x, w, b, relu)
-    return y, (x, y, w, b.dtype)
+    # residuals must be JAX types — carry the (tiny) bias itself, not its
+    # dtype object, to recover the primal dtype for the db cotangent
+    return y, (x, y, w, b)
 
 
 def _vjp_bwd(relu, res, g):
-    x, y, w, b_dtype = res
+    x, y, w, b = res
+    b_dtype = b.dtype
     dx = _run_bwd(x, y, g, w, relu)
     # weight/bias cotangents via a recomputed pooled tensor (XLA path);
     # dead code under the mask search (no grads w.r.t. variables requested)
