@@ -58,19 +58,16 @@ def test_tf_family_model_knobs():
 
 @pytest.mark.slow
 def test_clstm_preset_forward():
+    """The PRESET-built model itself runs forward at the preset's configured
+    clip shape (a previous version of this test silently swapped in a
+    hand-constructed model, leaving the preset forward untested)."""
     cfg = Config.load(os.path.join(REPO, "configs/config_clstm_kth.py"))
     m = build_model(cfg)
-    x = jnp.zeros((1, 8, 24, 32, 3))
-    cfg2 = cfg  # tiny clip: effective steps must fit
-    m = ConvLSTMClassifier(
-        num_classes=cfg2.model.num_classes,
-        nb_lstm_units=cfg2.model.clstm_hidden,
-        lstm_layers=cfg2.model.clstm_layers,
-        conv_stride=cfg2.model.conv_stride,
-        effective_steps=(7,),
-    )
+    h, w = cfg.data.input_spatial_size
+    x = jnp.zeros((1, cfg.data.clip_size, h, w, 3))
     v = m.init(jax.random.PRNGKey(0), x)
-    assert m.apply(v, x, train=False).shape == (1, 6)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (1, cfg.model.num_classes)
 
 
 # ---------------------------------------------------------------------------

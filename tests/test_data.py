@@ -117,9 +117,14 @@ def test_frame_dir_dataset_and_loader(tmp_path):
     clips, labels, ids = batches[0]
     assert clips.shape == (2, 4, 16, 16, 3)
     assert labels.dtype == np.int32 and len(ids) == 2
-    # second epoch reshuffles deterministically by epoch counter
+    # second epoch reshuffles deterministically by epoch counter: same
+    # multiset of ids, different order (deterministic for this seed/epoch)
     batches2 = list(loader)
     assert len(batches2) == 2
+    ids1 = [i for b in batches for i in b[2]]
+    ids2 = [i for b in batches2 for i in b[2]]
+    assert sorted(ids1) == sorted(ids2)
+    assert ids1 != ids2, "epoch 2 saw the identical batch order"
 
 
 def test_kth_dataset(tmp_path):

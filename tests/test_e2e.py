@@ -71,9 +71,11 @@ def e2e_trained(e2e_cfg):
 def test_e2e_train_and_eval(e2e_cfg, e2e_trained):
     state, history = e2e_trained
     assert len(history) == 2
-    assert history[-1]["val"]["loss"] < history[0]["val"]["loss"] or (
-        history[-1]["val"]["top1"] >= history[0]["val"]["top1"]
-    )
+    # training must actually LEARN — flat accuracy alone must not pass
+    # (the synthetic classes are brightness-separable; 2 epochs reliably
+    # drop the loss)
+    assert history[-1]["val"]["loss"] < history[0]["val"]["loss"]
+    assert history[-1]["val"]["top1"] >= history[0]["val"]["top1"]
     # checkpoint artifacts
     save_dir = os.path.join(e2e_cfg.output_dir, e2e_cfg.model_name)
     assert os.path.isdir(os.path.join(save_dir, "checkpoint"))
@@ -84,14 +86,19 @@ def test_e2e_train_and_eval(e2e_cfg, e2e_trained):
 @pytest.mark.slow
 def test_e2e_find_masks_with_gradcam(e2e_cfg, e2e_trained):
     state = e2e_trained[0]
+    # module-scoped cfg: restore every mutation (order-independence)
+    old = (e2e_cfg.mask.opt_iter, e2e_cfg.mask.lam1, e2e_cfg.mask.lam2)
     e2e_cfg.mask.opt_iter = 8
     e2e_cfg.mask.lam1, e2e_cfg.mask.lam2 = 0.01, 0.02
-    tm_results, gc_results = find_masks(
-        e2e_cfg,
-        state.variables(),
-        max_batches=1,
-        save_viz=True,
-    )
+    try:
+        tm_results, gc_results = find_masks(
+            e2e_cfg,
+            state.variables(),
+            max_batches=1,
+            save_viz=True,
+        )
+    finally:
+        e2e_cfg.mask.opt_iter, e2e_cfg.mask.lam1, e2e_cfg.mask.lam2 = old
     assert len(tm_results) == 4 and len(gc_results) == 4
     r = tm_results[0]
     for key in (
@@ -130,6 +137,7 @@ def test_e2e_find_masks_min_score_skip(e2e_cfg, e2e_trained):
     an impossible threshold drops every clip; results are empty but the
     pickles are still written."""
     state = e2e_trained[0]
+    old_iter, old_min = e2e_cfg.mask.opt_iter, e2e_cfg.mask.min_score
     e2e_cfg.mask.opt_iter = 2
     e2e_cfg.mask.min_score = 1.1  # class probs can never reach this
     try:
@@ -137,7 +145,7 @@ def test_e2e_find_masks_min_score_skip(e2e_cfg, e2e_trained):
             e2e_cfg, state.variables(), max_batches=1, save_viz=False
         )
     finally:
-        e2e_cfg.mask.min_score = 0.0
+        e2e_cfg.mask.opt_iter, e2e_cfg.mask.min_score = old_iter, old_min
     assert tm == [] and gc == []
 
 
@@ -697,22 +705,27 @@ def test_e2e_find_masks_data_parallel_matches_single(e2e_cfg, e2e_trained):
     from ivf_tpu.parallel import get_mesh
 
     state = e2e_trained[0]
+    old_iter = e2e_cfg.mask.opt_iter
     e2e_cfg.mask.opt_iter = 4
-    tm_single, _ = find_masks(
-        e2e_cfg, state.variables(), max_batches=1, save_viz=False
-    )
-    # commit variables to a single device first — exactly what a checkpoint
-    # restore produces; find_masks replicates them over the mesh itself
-    import jax
+    try:
+        tm_single, _ = find_masks(
+            e2e_cfg, state.variables(), max_batches=1, save_viz=False
+        )
+        # commit variables to a single device first — exactly what a
+        # checkpoint restore produces; find_masks replicates them over the
+        # mesh itself
+        import jax
 
-    committed = jax.device_put(state.variables(), jax.devices()[0])
-    tm_mesh, _ = find_masks(
-        e2e_cfg,
-        committed,
-        max_batches=1,
-        save_viz=False,
-        mesh=get_mesh(4),
-    )
+        committed = jax.device_put(state.variables(), jax.devices()[0])
+        tm_mesh, _ = find_masks(
+            e2e_cfg,
+            committed,
+            max_batches=1,
+            save_viz=False,
+            mesh=get_mesh(4),
+        )
+    finally:
+        e2e_cfg.mask.opt_iter = old_iter
     assert len(tm_single) == len(tm_mesh) > 0
     by_id = {r["video_id"]: r for r in tm_mesh}
     for r in tm_single:

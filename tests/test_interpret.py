@@ -117,7 +117,6 @@ def _make_score_pair(t=16, num_classes=5, seed=3):
         return jax.nn.softmax(logits)
 
     def score_torch(clip_t):  # torch (1, C, T, H, W) -> (1, num_classes)
-        frame_means = clip_t.mean(dim=(0, 1, 3, 4)) if clip_t.dim() == 5 else None
         frame_means = clip_t[0].mean(dim=(0, 2, 3))  # (T,)
         logits = torch.from_numpy(w) @ frame_means
         return torch.softmax(logits, dim=0)[None]
@@ -401,8 +400,11 @@ def test_cam_from_activation_matches_reference_math():
 
 
 def test_grad_cam_end_to_end_finite_difference():
-    """grad_cam's gradient wrt the activation matches finite differences of
-    the head, and target_index=None picks the argmax class."""
+    """grad_cam's gradient wrt the activation matches full finite
+    differences of the head (every activation entry), the CAM equals
+    cam_from_activation on those FD grads, and target_index=None picks the
+    argmax class. (Previously this test asserted only shape + min==0 /
+    max==1 — properties the normalization guarantees for ANY gradients.)"""
     rng = np.random.RandomState(1)
     w = jnp.asarray(rng.randn(6, 3).astype(np.float32))
 
@@ -414,10 +416,35 @@ def test_grad_cam_end_to_end_finite_difference():
         return jax.nn.softmax(w @ jnp.mean(act, axis=(0, 1, 2)))
 
     clip = jnp.asarray(rng.randn(4, 4, 4, 3).astype(np.float32))
-    cam, scores = grad_cam(features_fn, head_fn, clip)
-    assert cam.shape == (4, 4, 4)
-    assert float(cam.min()) == 0.0 and float(cam.max()) == 1.0
-    assert scores.shape == (6,)
+    target = 2
+    cam, scores = grad_cam(features_fn, head_fn, clip, target_index=target)
+    assert cam.shape == (4, 4, 4) and scores.shape == (6,)
+
+    # full finite-difference gradient of head_fn(act)[target] wrt act
+    act = np.asarray(features_fn(clip), np.float64)
+    eps = 1e-4
+    fd = np.zeros_like(act)
+    f = lambda a: float(head_fn(jnp.asarray(a, jnp.float32))[target])
+    for idx in np.ndindex(act.shape):
+        ap, am = act.copy(), act.copy()
+        ap[idx] += eps
+        am[idx] -= eps
+        fd[idx] = (f(ap) - f(am)) / (2 * eps)
+    cam_fd = np.asarray(
+        cam_from_activation(
+            jnp.asarray(act, jnp.float32), jnp.asarray(fd, jnp.float32), 4, (4, 4)
+        )
+    )
+    # tolerance: f32 head evals at eps=1e-4 give ~4e-4 FD noise; a wiring
+    # bug (wrong class, activations instead of grads) changes values by O(1)
+    np.testing.assert_allclose(np.asarray(cam), cam_fd, rtol=1e-2, atol=1e-3)
+
+    # target_index=None explains the predicted argmax class
+    cam_auto, scores_auto = grad_cam(features_fn, head_fn, clip)
+    cam_argmax, _ = grad_cam(
+        features_fn, head_fn, clip, target_index=int(jnp.argmax(scores_auto))
+    )
+    np.testing.assert_allclose(np.asarray(cam_auto), np.asarray(cam_argmax))
 
 
 @pytest.mark.slow
@@ -626,8 +653,11 @@ def test_find_mask_bf16_clip_storage():
 
     def make_score(seq_dtype):
         def score_fn(clip):
-            pooled = jnp.mean(clip.astype(jnp.float32), axis=(0, 1, 2))
-            return jax.nn.softmax(w @ pooled)
+            # compute in seq_dtype (the model's compute path), report f32
+            pooled = jnp.mean(clip.astype(seq_dtype), axis=(0, 1, 2))
+            return jax.nn.softmax(
+                (w.astype(seq_dtype) @ pooled).astype(jnp.float32)
+            )
         return score_fn
 
     init = jnp.asarray(rng.randn(8).astype(np.float32))
@@ -635,7 +665,8 @@ def test_find_mask_bf16_clip_storage():
     r16 = find_mask(
         make_score(jnp.bfloat16), seq32.astype(jnp.bfloat16), 2, init, n_steps=25
     )
-    assert r16.mask.dtype == jnp.float32 or r16.mask.dtype == jnp.bfloat16
+    # contract: mask logits/losses stay f32 whatever the clip/compute dtype
+    assert r16.mask.dtype == jnp.float32
     assert np.all(np.isfinite(np.asarray(r16.loss)))
     np.testing.assert_allclose(
         np.asarray(r16.mask, np.float32), np.asarray(r32.mask), atol=0.05

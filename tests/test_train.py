@@ -168,7 +168,8 @@ def test_train_smoke_loss_decreases():
     )
     assert res["top1"] > 50.0
     assert res["y_true"].shape == (32,)
-    assert res["y_hat_top5"].shape[1] == 3 or res["y_hat_top5"].shape[1] == 5
+    # 3 classes < top-5: the collected matrix clamps to num_classes
+    assert res["y_hat_top5"].shape == (32, 3)
 
 
 @pytest.mark.slow
