@@ -107,6 +107,13 @@ def main(argv=None):
         "batch-polymorphic artifact",
     )
 
+    p = common(sub.add_parser("export-checkpoint"))
+    p.add_argument(
+        "--out", required=True,
+        help="output reference-layout .pth.tar (loads into the reference "
+        "torch modules with strict=True)",
+    )
+
     p = common(sub.add_parser("serve"))
     p.add_argument("--artifact", help=".ivfaot artifact (skips model build)")
     p.add_argument("--port", type=int, default=8000)
@@ -203,6 +210,8 @@ def main(argv=None):
                 print(f"grad-cam: {len(gc_results)} clips (results pickled)")
         elif args.command == "export-model":
             _export_model(args)
+        elif args.command == "export-checkpoint":
+            _export_checkpoint(args)
         elif args.command == "serve":
             _serve(args)
         elif args.command == "make-records":
@@ -253,6 +262,36 @@ def _clip_shape(cfg):
     from ivf_tpu.api import _clip_hw
 
     return (cfg.data.clip_size, *_clip_hw(cfg), 3)
+
+
+def _export_checkpoint(args):
+    """Export the run's (or --checkpoint's) weights back to a
+    reference-layout torch ``.pth.tar`` — the CLI face of
+    ``utils/export_torch.py`` (two-way migration: the reference stack loads
+    the file with strict=True)."""
+    from ivf_tpu.api import _clip_hw, init_eval_state
+    from ivf_tpu.utils.export_torch import (
+        convlstm_variables_to_state_dict,
+        i3d_variables_to_state_dict,
+        save_checkpoint_file,
+    )
+
+    cfg = _eval_cfg(args)
+    _, state = init_eval_state(cfg)
+    variables = state.variables()
+    if "i3d" in cfg.model.conv_model.lower():
+        sd = i3d_variables_to_state_dict(variables)
+    else:
+        sd = convlstm_variables_to_state_dict(
+            variables,
+            image_size=_clip_hw(cfg),
+            conv_stride=cfg.model.conv_stride,
+            pool_kernel=tuple(cfg.model.pool_kernel),
+            lstm_layers=cfg.model.clstm_layers,
+            nb_lstm_units=cfg.model.clstm_hidden,
+        )
+    save_checkpoint_file(args.out, sd, arch=cfg.model.conv_model)
+    print(f"exported {len(sd)} tensors -> {args.out} (reference layout)")
 
 
 def _export_model(args):

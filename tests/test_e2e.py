@@ -532,6 +532,71 @@ def test_make_records_edge_cases(tmp_path):
         assert frames.shape == (4, 8, 8, 3)
 
 
+@pytest.mark.slow
+def test_cli_export_checkpoint_loads_in_reference(
+    e2e_cfg, e2e_trained, tmp_path, reference_pt_path
+):
+    """cli export-checkpoint writes a reference-layout .pth.tar from the
+    trained run's best checkpoint; the reference CLSTM_4 module loads it
+    with strict=True (the two-way migration surface, from the CLI)."""
+    import importlib
+    import json as _json
+
+    import torch
+
+    from ivf_tpu.cli import main
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(
+        _json.dumps(
+            {
+                "model_name": e2e_cfg.model_name,
+                "output_dir": e2e_cfg.output_dir,
+                "conv_model": "clstm",
+                "num_classes": 2,
+                "clip_size": 8,
+                "input_spatial_size": 32,
+                "clstm_hidden": 4,
+                "clstm_layers": 1,
+                "conv_stride": 1,
+                "batch_norm": True,
+                "dropout": 0.0,
+            }
+        )
+    )
+    ckpt_dir = os.path.join(e2e_cfg.output_dir, e2e_cfg.model_name)
+    out = str(tmp_path / "exported.pth.tar")
+    main(
+        [
+            "export-checkpoint",
+            "--config",
+            str(cfg_path),
+            "--checkpoint",
+            ckpt_dir,
+            "--out",
+            out,
+        ]
+    )
+    payload = torch.load(out, weights_only=False)
+    assert payload["arch"] == "clstm"
+
+    clstm_mod = importlib.import_module("models.CLSTM_4")
+    ref = clstm_mod.Model(
+        num_classes=2,
+        nb_lstm_units=4,
+        lstm_layers=1,
+        conv_kernel_size=(5, 5),
+        pool_kernel_size=(2, 2),
+        step=8,
+        image_size=(32, 32),
+        conv_stride=1,
+        effective_step=[3, 7],
+        batch_normalization=True,
+        dropout=0,
+    )
+    ref.load_state_dict(payload["state_dict"], strict=True)
+
+
 def test_make_records_cohesive_crop_diversity(tmp_path):
     """sample_cohesive_crop must share ONE rng across clips (code-review
     regression: a fresh RandomState(0) per clip gave every same-length clip
