@@ -217,10 +217,15 @@ def main(argv=None):
         elif args.command == "make-records":
             _make_records(args)
         elif args.command == "inspect-records":
-            # manual data-verification utility (tfrecords/inspect_tfrecords.py)
-            from ivf_tpu.data.records import RecordReader
+            # manual data-verification utility (tfrecords/inspect_tfrecords.py);
+            # same extension dispatch as RecordDataset — reference-produced
+            # .tfrecords shards inspect directly too
+            if args.path.endswith((".tfrecord", ".tfrecords")):
+                from ivf_tpu.data.tfrecords import TFRecordReader as _Reader
+            else:
+                from ivf_tpu.data.records import RecordReader as _Reader
 
-            r = RecordReader(args.path)
+            r = _Reader(args.path)
             meta, frames = r.read(args.index)
             print(f"{len(r)} records in {args.path}")
             print(f"record[{args.index}] meta: {meta}")

@@ -231,6 +231,21 @@ def test_inspect_records_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "1 records" in out and "vid9" in out and "(2, 8, 8, 3)" in out
 
+    # reference-produced .tfrecords inspect through the same command
+    # (extension dispatch, like RecordDataset)
+    from ivf_tpu.data.records import encode_jpeg
+    from ivf_tpu.data.tfrecords import build_example, write_tfrecord
+
+    tf_path = str(tmp_path / "x.tfrecords")
+    frames = [encode_jpeg(np.zeros((8, 8, 3), np.uint8)) for _ in range(2)]
+    write_tfrecord(
+        tf_path,
+        [build_example("tfvid7", 3, frames, height=8, width=8)],
+    )
+    main(["inspect-records", tf_path])
+    out = capsys.readouterr().out
+    assert "1 records" in out and "tfvid7" in out and "(2, 8, 8, 3)" in out
+
 
 def test_kth_clips_of_interest():
     from ivf_tpu.data.kth_clips_of_interest import (
