@@ -25,4 +25,4 @@ Reference layout map (see SURVEY.md for the full inventory):
   parallel/   <- (new) mesh + sharding layer; reference only had DataParallel
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
