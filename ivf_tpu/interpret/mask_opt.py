@@ -39,11 +39,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ivf_tpu.interpret.perturb import (
-    freeze_perturb,
-    perturb_sequence,
-    tv_norm,
-)
+from ivf_tpu.interpret.perturb import perturb_sequence, tv_norm
 
 ScoreFn = Callable[[jax.Array], jax.Array]
 # ScoreFn: clip (T, H, W, C) -> class-probability vector (num_classes,)

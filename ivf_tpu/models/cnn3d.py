@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 from jax import lax
 
-from ivf_tpu.models.layers import TorchBatchNorm, Unit3D
+from ivf_tpu.models.layers import Unit3D
 
 
 class CNN3D(nn.Module):
