@@ -131,6 +131,11 @@ def _probe_backend(timeout_s: int = 300):
                         "tunnel down; see CLAUDE.md 'tunnel fully down'. "
                         "Last good measurement: PERF.md round-3 headline."
                     ),
+                    # machine-readable last-good (PERF.md round-3, same
+                    # program/config, reproducible whenever the attachment
+                    # is healthy): value / vs_baseline as of 2026-08-17
+                    "last_good_value": 450.5,
+                    "last_good_vs_baseline": 21.05,
                 }
             ),
             flush=True,
