@@ -226,6 +226,13 @@ def train(
 
     train_dataset = train_dataset or build_dataset(cfg, "train")
     val_dataset = val_dataset or build_dataset(cfg, "validation")
+    if jax.process_count() > 1:
+        # multi-host SPMD: each process loads a disjoint dataset shard;
+        # the loaders assemble global arrays (parallel/multihost.py)
+        from ivf_tpu.parallel.multihost import ShardedDataset
+
+        train_dataset = ShardedDataset(train_dataset)
+        val_dataset = ShardedDataset(val_dataset)
 
     sample = jnp.zeros(
         (1, cfg.data.clip_size, *_clip_hw(cfg), 3), jnp.float32
@@ -242,7 +249,7 @@ def train(
 
         state = replicate(state, mesh)
 
-    ckpt = Checkpointer(save_dir)
+    ckpt = Checkpointer(save_dir, async_save=cfg.async_checkpoint)
     start_epoch, best_loss = 0, float("inf")
     if resume and ckpt.exists():
         state, start_epoch, best_loss = ckpt.restore(state)
@@ -412,6 +419,10 @@ def infer(cfg: Config, state=None, mesh=None, dataset=None, save_npy=True):
 
         state = replicate(state, mesh)
     dataset = dataset or build_dataset(cfg, "validation")
+    if jax.process_count() > 1:
+        from ivf_tpu.parallel.multihost import ShardedDataset
+
+        dataset = ShardedDataset(dataset)
     loss_type = "nll_on_probs" if cfg.model.soft_max else "cross_entropy"
     # KTH inference reports top-3 (inference_kth.py:10 TOP_X=3) but keeps
     # the top5 file name (inference_kth.py:178); smth uses real top-5.

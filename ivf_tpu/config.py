@@ -164,6 +164,9 @@ class Config:
     split_type: str = "original"
     test_run: bool = False  # 5-step smoke mode (TF --test_run yes)
     seed: int = 0
+    # non-blocking epoch checkpoints (orbax background write; the best-copy
+    # and any restore barrier on the in-flight save — utils/checkpoint.py)
+    async_checkpoint: bool = False
     data: DataConfig = field(default_factory=DataConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
@@ -178,6 +181,7 @@ class Config:
             "model_name": "model_name",
             "output_dir": "output_dir",
             "splitType": "split_type",
+            "async_checkpoint": "async_checkpoint",
         }
         sections = {
             "data": cfg.data,
@@ -265,6 +269,8 @@ class Config:
         }
         for k, v in d.items():
             if k in top:
+                if isinstance(getattr(cfg, top[k]), bool):
+                    v = bool(v)
                 setattr(cfg, top[k], v)
             elif k in key_map:
                 sec, attr = key_map[k]
@@ -355,6 +361,7 @@ _OVERRIDES = [
     ("--use_pallas", "-pls", "model.use_pallas", int),
     ("--recurrent_activation", "-ract", "model.recurrent_activation", str),
     ("--kernel_l2", "-kl2", "model.kernel_l2", float),
+    ("--async_checkpoint", "-actk", "async_checkpoint", int),
 ]
 
 

@@ -290,6 +290,13 @@ class ClipLoader:
         import jax
 
         if self.mesh is not None:
+            if jax.process_count() > 1:
+                # multi-host: this process's rows are one shard of a
+                # GLOBAL array (each host loads a disjoint ShardedDataset
+                # slice; the jitted SPMD step sees the full batch)
+                from ivf_tpu.parallel.multihost import global_device_batch
+
+                return global_device_batch(batch, self.mesh)
             from ivf_tpu.parallel.mesh import data_sharding
 
             sharding = data_sharding(self.mesh)

@@ -9,6 +9,12 @@ from ivf_tpu.parallel.mesh import (
     spatial_sharding,
     tensor_parallel_variables,
 )
+from ivf_tpu.parallel.multihost import (
+    ShardedDataset,
+    global_device_batch,
+    initialize as initialize_multihost,
+    process_shard,
+)
 from ivf_tpu.parallel.pipeline import (
     i3d_stage_fns,
     pipeline_apply,
@@ -16,6 +22,10 @@ from ivf_tpu.parallel.pipeline import (
 )
 
 __all__ = [
+    "ShardedDataset",
+    "global_device_batch",
+    "initialize_multihost",
+    "process_shard",
     "get_mesh",
     "get_2d_mesh",
     "get_multislice_mesh",

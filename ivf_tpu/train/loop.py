@@ -279,4 +279,8 @@ def fit(
             is_best = val_metrics["loss"] < best_loss
             best_loss = min(val_metrics["loss"], best_loss)
             checkpointer.save(state, epoch, is_best=is_best, best_loss=best_loss)
+    if checkpointer is not None and hasattr(checkpointer, "wait_until_finished"):
+        # async_save: the final epoch's write (and its deferred best-copy)
+        # must land before fit returns
+        checkpointer.wait_until_finished()
     return state, history

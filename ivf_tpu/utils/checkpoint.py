@@ -21,13 +21,37 @@ from ivf_tpu.train.state import TrainState
 
 
 class Checkpointer:
-    def __init__(self, directory: str):
+    """``async_save=True`` makes ``save`` non-blocking: orbax serializes
+    the (host-copied) arrays in a background thread while training
+    continues — the next ``save``/``restore``/``exists`` call (or an
+    explicit ``wait_until_finished``) barriers on it first, and the
+    best-copy is deferred until the write has landed. Single-epoch cost on
+    a TPU train loop drops from the full serialize time to ~the host copy."""
+
+    def __init__(self, directory: str, async_save: bool = False):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._saver = ocp.StandardCheckpointer()
+        self.async_save = async_save
+        self._pending_best = False
 
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
+
+    def wait_until_finished(self):
+        """Barrier: block until any in-flight async save has landed, then
+        apply its deferred best-copy. Idempotent; no-op when nothing is in
+        flight."""
+        self._saver.wait_until_finished()
+        if self._pending_best:
+            self._copy_best()
+            self._pending_best = False
+
+    def _copy_best(self):
+        best = self._path("model_best")
+        if os.path.exists(best):
+            shutil.rmtree(best)
+        shutil.copytree(self._path("checkpoint"), best)
 
     def save(
         self,
@@ -36,6 +60,7 @@ class Checkpointer:
         is_best: bool = False,
         best_loss: float = float("inf"),
     ):
+        self.wait_until_finished()  # epoch N's write before touching N+1's
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -48,12 +73,15 @@ class Checkpointer:
         if os.path.exists(path):
             shutil.rmtree(path)
         self._saver.save(path, payload)
+        if self.async_save:
+            # orbax's StandardCheckpointer copies arrays to host before
+            # returning; the durable write + the best-copy complete at the
+            # next barrier (wait_until_finished / next save / restore)
+            self._pending_best = is_best
+            return
         self._saver.wait_until_finished()
         if is_best:
-            best = self._path("model_best")
-            if os.path.exists(best):
-                shutil.rmtree(best)
-            shutil.copytree(path, best)
+            self._copy_best()
 
     def restore(
         self,
@@ -67,6 +95,7 @@ class Checkpointer:
         train_i3d_smth.py:76-88). Returns (state, start_epoch, best_loss) —
         the reference resume restores best_loss too (train_i3d_smth.py:76-88)
         so a worse post-resume epoch can't overwrite model_best."""
+        self.wait_until_finished()
         if skip_logits:
             return self._restore_skip_logits(state, name, logits_keys)
         template = {
@@ -126,6 +155,7 @@ class Checkpointer:
         )
 
     def exists(self, name: str = "checkpoint") -> bool:
+        self.wait_until_finished()
         return os.path.exists(self._path(name))
 
     def load_variables(self, name: str = "checkpoint") -> dict:
@@ -133,6 +163,7 @@ class Checkpointer:
         inference/mask-search consumers that don't care about the optimizer
         state (the reference mask drivers likewise restore all-but-optimizer,
         mask/find_mask_smth.py:301-313)."""
+        self.wait_until_finished()
         with ocp.PyTreeCheckpointer() as ckptr:
             restored = ckptr.restore(self._path(name))
         out = {"params": restored["params"]}
