@@ -21,6 +21,14 @@ framework into a multi-host SPMD program the JAX way:
 Single-process behavior is the identity everywhere (process_count == 1),
 which is what the tests pin; the multi-host path reuses the same code with
 ``jax.process_count() > 1``.
+
+Workload guidance: training/inference shard the batch globally (above).
+The mask search (``api.find_masks``) is embarrassingly clip-parallel with
+NO cross-clip collectives, so on multi-host the efficient layout is one
+INDEPENDENT driver per process — wrap the dataset in ``ShardedDataset``,
+pass a local-devices mesh (``Mesh(jax.local_devices(), ('data',))``), and
+each host writes its own result shard; there is nothing to gain from a
+global mesh there, and the host-side staging/viz loops stay process-local.
 """
 
 from __future__ import annotations

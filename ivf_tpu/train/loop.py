@@ -162,6 +162,20 @@ def train_epoch(
     return state, {k: m.avg for k, m in meters.items()}
 
 
+def _host_value(x):
+    """Materialize an array on this host. On multi-host runtimes a
+    data-sharded global array is not fully addressable — gather it (every
+    host gets the full value, so prediction dumps are whole either way);
+    the single-process path is a plain np.asarray."""
+    import numpy as np
+
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def evaluate(
     state: TrainState,
     loader: Iterable,
@@ -185,8 +199,8 @@ def evaluate(
         if collect_predictions:
             import numpy as np
 
-            logits = np.asarray(metrics["logits"])
-            y_true.append(np.asarray(labels))
+            logits = _host_value(metrics["logits"])
+            y_true.append(_host_value(labels))
             y_hat.append(logits.argmax(-1))
             y_hat_top5.append(np.argsort(-logits, axis=-1)[:, :top_k])
     out = {k: m.avg for k, m in meters.items()}
