@@ -229,6 +229,13 @@ def train(
     if jax.process_count() > 1:
         # multi-host SPMD: each process loads a disjoint dataset shard;
         # the loaders assemble global arrays (parallel/multihost.py)
+        if mesh is None:
+            raise ValueError(
+                "multi-host training requires a global device mesh (pass "
+                "mesh=get_mesh() / CLI --data-parallel): without one, each "
+                "process would silently train a divergent model on its own "
+                "shard with no gradient sync, all writing the same save_dir"
+            )
         from ivf_tpu.parallel.multihost import ShardedDataset
 
         train_dataset = ShardedDataset(train_dataset)
@@ -420,6 +427,13 @@ def infer(cfg: Config, state=None, mesh=None, dataset=None, save_npy=True):
         state = replicate(state, mesh)
     dataset = dataset or build_dataset(cfg, "validation")
     if jax.process_count() > 1:
+        if mesh is None:
+            raise ValueError(
+                "multi-host inference requires a global device mesh (pass "
+                "mesh=get_mesh() / CLI --data-parallel): without one each "
+                "process would report per-shard metrics as the run's and "
+                "race on the prediction npy files"
+            )
         from ivf_tpu.parallel.multihost import ShardedDataset
 
         dataset = ShardedDataset(dataset)
@@ -438,7 +452,10 @@ def infer(cfg: Config, state=None, mesh=None, dataset=None, save_npy=True):
         collect_predictions=True,
         top_k=max(5, k),
     )
-    if save_npy:
+    if save_npy and jax.process_index() == 0:
+        # predictions are allgathered (train/loop.py::_host_value) so
+        # process 0's dump is the full set; other processes must not race
+        # on the same files
         save_dir = _save_dir(cfg)
         np.save(os.path.join(save_dir, "y_true.npy"), res["y_true"])
         np.save(os.path.join(save_dir, "y_hat.npy"), res["y_hat"])

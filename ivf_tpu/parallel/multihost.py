@@ -54,10 +54,15 @@ def initialize(
 
     Returns True when a multi-process runtime was (or already is) active,
     False for the plain single-process case. Safe to call unconditionally
-    at program start — single-process is a no-op.
+    at program start — single-process is a no-op. MUST run before any
+    other JAX use: ``jax.distributed.initialize`` refuses to join once the
+    backends are up, which is also why this function checks
+    ``jax.distributed.is_initialized()`` (backend-free) and never calls
+    ``jax.process_count()`` (which would initialize the backends and brick
+    the handshake) on the not-yet-initialized path.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
@@ -67,7 +72,7 @@ def initialize(
         process_id = int(os.environ["JAX_PROCESS_ID"])
     auto = os.environ.get("IVF_MULTIHOST") == "1"
     if coordinator_address is None and not auto:
-        return False  # single process, nothing to join
+        return False  # single process; backends untouched
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -81,16 +86,28 @@ def process_shard(
     n_items: int,
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
+    even: bool = False,
 ) -> range:
-    """This process's contiguous, balanced share of ``n_items`` dataset
-    items: the first ``n_items % count`` processes take one extra item, the
-    shards are disjoint and cover everything. Contiguous (not strided) so a
-    record shard's pages stay hot within one process."""
+    """This process's contiguous share of ``n_items`` dataset items.
+    Contiguous (not strided) so a record shard's pages stay hot within one
+    process.
+
+    ``even=False``: balanced cover — the first ``n_items % count``
+    processes take one extra item; shards are disjoint and cover
+    everything. Right for independent per-process work (the mask-search
+    layout) where nothing synchronizes.
+
+    ``even=True``: every shard is exactly ``n_items // count`` items (the
+    tail remainder is dropped). REQUIRED for SPMD training/eval: a +1
+    shard can cross a batch boundary and give one process an extra step
+    whose collectives the others never join — a silent deadlock."""
     i = jax.process_index() if process_index is None else process_index
     c = jax.process_count() if process_count is None else process_count
     if not 0 <= i < c:
         raise ValueError(f"process_index {i} out of range for count {c}")
     base, rem = divmod(n_items, c)
+    if even:
+        return range(i * base, (i + 1) * base)
     start = i * base + min(i, rem)
     return range(start, start + base + (1 if i < rem else 0))
 
@@ -105,10 +122,12 @@ class ShardedDataset:
 
     Note the batch contract: ``ClipLoader.batch_size`` stays the
     PER-PROCESS batch; the global batch an SPMD step sees is
-    ``batch_size * process_count``. Keep per-process shard sizes equal
-    (they are, up to the +1 remainder item with ``drop_last=True``) so all
-    processes run the same number of steps per epoch — a mismatched step
-    count deadlocks collectives, exactly like any SPMD framework.
+    ``batch_size * process_count``. The default ``even=True`` trims every
+    shard to exactly ``len(dataset) // process_count`` items so all
+    processes run the SAME number of steps per epoch — a mismatched step
+    count deadlocks collectives, exactly like any SPMD framework. Pass
+    ``even=False`` only for independent per-process work (the mask-search
+    layout) where full coverage matters and nothing synchronizes.
     """
 
     def __init__(
@@ -116,10 +135,11 @@ class ShardedDataset:
         dataset,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
+        even: bool = True,
     ):
         self.dataset = dataset
         self.indices = process_shard(
-            len(dataset), process_index, process_count
+            len(dataset), process_index, process_count, even=even
         )
         # only expose the native-decode hook when the wrapped dataset has
         # it — ClipLoader feature-detects via hasattr (loaders.py)

@@ -236,11 +236,56 @@ def fit(
     ``start_epoch``/``best_loss`` come from a resumed checkpoint — the
     epoch loop is range(start_epoch, num_epochs) exactly as the reference
     (train_i3d_smth.py:150-152)."""
-    from ivf_tpu.train.optim import get_learning_rate, set_learning_rate
-
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     train_step = make_train_step(loss_type, kernel_l2=kernel_l2)
     eval_step = make_eval_step(loss_type)
+    try:
+        return _fit_epochs(
+            state,
+            train_loader_fn,
+            val_loader_fn,
+            num_epochs,
+            train_step,
+            eval_step,
+            scheduler,
+            checkpointer,
+            rng,
+            print_freq,
+            last_lr,
+            max_steps_per_epoch,
+            plotter,
+            start_epoch,
+            best_loss,
+        )
+    finally:
+        if checkpointer is not None and hasattr(
+            checkpointer, "wait_until_finished"
+        ):
+            # async_save: the in-flight write and its deferred best-copy
+            # must land even on an abnormal exit (an epoch raising after a
+            # best save would otherwise leave model_best stale)
+            checkpointer.wait_until_finished()
+
+
+def _fit_epochs(
+    state,
+    train_loader_fn,
+    val_loader_fn,
+    num_epochs,
+    train_step,
+    eval_step,
+    scheduler,
+    checkpointer,
+    rng,
+    print_freq,
+    last_lr,
+    max_steps_per_epoch,
+    plotter,
+    start_epoch,
+    best_loss,
+):
+    from ivf_tpu.train.optim import get_learning_rate, set_learning_rate
+
     history = []
     for epoch in range(start_epoch, num_epochs):
         lr_now = get_learning_rate(state.opt_state)
@@ -293,8 +338,4 @@ def fit(
             is_best = val_metrics["loss"] < best_loss
             best_loss = min(val_metrics["loss"], best_loss)
             checkpointer.save(state, epoch, is_best=is_best, best_loss=best_loss)
-    if checkpointer is not None and hasattr(checkpointer, "wait_until_finished"):
-        # async_save: the final epoch's write (and its deferred best-copy)
-        # must land before fit returns
-        checkpointer.wait_until_finished()
     return state, history

@@ -20,6 +20,21 @@ import orbax.checkpoint as ocp
 from ivf_tpu.train.state import TrainState
 
 
+def _primary() -> bool:
+    return jax.process_index() == 0
+
+
+def _sync(tag: str):
+    """Cross-process barrier around host-side file ops (rmtree/copytree):
+    orbax coordinates its own array writes across processes, but the
+    directory surgery here must be primary-only and fenced so no process
+    reads/writes a directory another is mutating. No-op single-process."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
 class Checkpointer:
     """``async_save=True`` makes ``save`` non-blocking: orbax serializes
     the (host-copied) arrays in a background thread while training
@@ -48,10 +63,13 @@ class Checkpointer:
             self._pending_best = False
 
     def _copy_best(self):
-        best = self._path("model_best")
-        if os.path.exists(best):
-            shutil.rmtree(best)
-        shutil.copytree(self._path("checkpoint"), best)
+        _sync("ivf-ckpt-pre-best")  # every process's write has landed
+        if _primary():
+            best = self._path("model_best")
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            shutil.copytree(self._path("checkpoint"), best)
+        _sync("ivf-ckpt-post-best")  # best is whole before anyone reads it
 
     def save(
         self,
@@ -70,8 +88,9 @@ class Checkpointer:
             "best_loss": float(best_loss),
         }
         path = self._path("checkpoint")
-        if os.path.exists(path):
+        if _primary() and os.path.exists(path):
             shutil.rmtree(path)
+        _sync("ivf-ckpt-pre-save")  # no writes into a dir being deleted
         self._saver.save(path, payload)
         if self.async_save:
             # orbax's StandardCheckpointer copies arrays to host before

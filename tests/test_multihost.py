@@ -29,6 +29,14 @@ def test_process_shard_disjoint_balanced_covering():
             assert flat == list(range(n))  # disjoint + covering + ordered
             sizes = [len(s) for s in shards]
             assert max(sizes) - min(sizes) <= 1  # balanced
+            # even=True: EXACTLY equal shards (drop the tail remainder) —
+            # the SPMD requirement: a +1 shard can cross a batch boundary
+            # and give one process an extra collective step (deadlock)
+            even = [process_shard(n, i, count, even=True) for i in range(count)]
+            assert len({len(s) for s in even}) == 1
+            assert [idx for s in even for idx in s] == list(
+                range(n - n % count)
+            )
     with pytest.raises(ValueError):
         process_shard(10, 3, 3)
 
@@ -65,7 +73,11 @@ class _ToyDatasetNoPayloads:
 
 def test_sharded_dataset_views_disjoint_slices():
     ds = _ToyDataset(10)
-    parts = [ShardedDataset(ds, i, 3) for i in range(3)]
+    # default even=True: equal shards for SPMD (3,3,3 — item 9 dropped)
+    even_parts = [ShardedDataset(ds, i, 3) for i in range(3)]
+    assert [len(p) for p in even_parts] == [3, 3, 3]
+    # even=False: balanced cover for independent per-process drivers
+    parts = [ShardedDataset(ds, i, 3, even=False) for i in range(3)]
     assert [len(p) for p in parts] == [4, 3, 3]
     seen = []
     for p in parts:
@@ -163,6 +175,65 @@ def test_async_checkpointer_roundtrip_and_deferred_best(tmp_path):
     # while the live checkpoint moved on
     _, epoch2, _ = ckpt.restore(fresh)
     assert epoch2 == 2
+
+
+def test_multihost_requires_global_mesh(monkeypatch, tmp_path):
+    """process_count>1 with mesh=None must raise loudly: otherwise each
+    process would silently train/evaluate a divergent model on its own
+    shard (code-review finding, r3)."""
+    from ivf_tpu import api
+    from ivf_tpu.config import Config
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    cfg = Config()
+    cfg.output_dir = str(tmp_path)
+    ds = _ToyDataset(8)
+    with pytest.raises(ValueError, match="multi-host training"):
+        api.train(cfg, train_dataset=ds, val_dataset=ds, mesh=None)
+    with pytest.raises(ValueError, match="multi-host inference"):
+        api.infer(cfg, state=object(), dataset=ds, mesh=None)
+
+
+def test_fit_async_best_copy_lands_on_abnormal_exit(tmp_path):
+    """An epoch raising AFTER a deferred best-save must still materialize
+    model_best (fit's finally barrier) — otherwise model_best is stale
+    versus sync mode."""
+    from ivf_tpu.models.cnn3d import CNN3D
+    from ivf_tpu.train import build_optimizer, create_train_state, fit
+    from ivf_tpu.utils.checkpoint import Checkpointer
+
+    rng = np.random.RandomState(0)
+    clips = rng.rand(8, 4, 32, 32, 3).astype(np.float32)
+    labels = (np.arange(8) % 3).astype(np.int32)
+    calls = {"n": 0}
+
+    def train_batches():
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("boom in epoch 1")
+        return [(jnp.asarray(clips), jnp.asarray(labels))]
+
+    model = CNN3D(num_classes=3, dropout_rate=0.0)
+    state = create_train_state(
+        model,
+        jax.random.PRNGKey(0),
+        jnp.asarray(clips[:2]),
+        build_optimizer("sgd", 0.01, momentum=0.9),
+    )
+    ckpt = Checkpointer(str(tmp_path / "run"), async_save=True)
+    with pytest.raises(RuntimeError, match="boom"):
+        fit(
+            state,
+            train_batches,
+            lambda: [(jnp.asarray(clips), jnp.asarray(labels))],
+            num_epochs=3,
+            checkpointer=ckpt,
+            print_freq=0,
+        )
+    # epoch 0 was best; its deferred copy must have landed in the finally
+    assert ckpt.exists("model_best")
+    best_vars = ckpt.load_variables("model_best")
+    assert "params" in best_vars
 
 
 def test_fit_with_async_checkpointer_completes_final_write(tmp_path):
