@@ -49,6 +49,14 @@ def main(argv=None):
             "raise at the source (torch.autograd.detect_anomaly analogue; "
             "the reference mask drivers run under it)",
         )
+        p.add_argument(
+            "--multihost", action="store_true",
+            help="join the multi-process runtime before any JAX use "
+            "(jax.distributed handshake via JAX_COORDINATOR_ADDRESS / "
+            "JAX_NUM_PROCESSES / JAX_PROCESS_ID, or pod auto-detection); "
+            "combine with -dp 0 for a global data mesh — each process "
+            "then loads its dataset shard (parallel/multihost.py)",
+        )
         add_cli_overrides(p)
         return p
 
@@ -139,6 +147,16 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=256)
 
     args = parser.parse_args(argv)
+
+    if getattr(args, "multihost", False):
+        # MUST precede any backend use (profiling ctx, mesh construction):
+        # jax.distributed refuses to join once the backends are up
+        import os
+
+        from ivf_tpu.parallel.multihost import initialize as _mh_init
+
+        os.environ.setdefault("IVF_MULTIHOST", "1")  # allow pod auto-detect
+        _mh_init()
 
     import contextlib
 
