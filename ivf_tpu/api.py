@@ -257,10 +257,14 @@ def train(
         state = replicate(state, mesh)
 
     ckpt = Checkpointer(save_dir, async_save=cfg.async_checkpoint)
-    start_epoch, best_loss = 0, float("inf")
+    start_epoch, best_loss, batch_offset = 0, float("inf"), 0
     if resume and ckpt.exists():
-        state, start_epoch, best_loss = ckpt.restore(state)
-        print(f" > resumed from epoch {start_epoch} (best loss {best_loss:.4f})")
+        state, start_epoch, best_loss, batch_offset = ckpt.restore(state)
+        at = f" batch {batch_offset}" if batch_offset else ""
+        print(
+            f" > resumed from epoch {start_epoch}{at} "
+            f"(best loss {best_loss:.4f})"
+        )
     elif cfg.model.pretrained_model_path not in ("", "no_ckpt", None):
         state = _load_pretrained(cfg, model, state)
 
@@ -323,6 +327,8 @@ def train(
         kernel_l2=cfg.model.kernel_l2,
         start_epoch=start_epoch,
         best_loss=best_loss,
+        checkpoint_every_steps=cfg.optim.checkpoint_steps,
+        start_batch_offset=batch_offset,
     )
     return state, history
 

@@ -118,6 +118,10 @@ class OptimConfig:
     # patience_halving: the TF half's manual val-acc patience halving with an
     #   lr >= 2*last_lr floor (train_kth.py:294-312)
     lr_schedule: str = "plateau"  # plateau | patience_halving
+    # preemption safety: also checkpoint mid-epoch every N train batches
+    # (0 = epoch-end only); resume fast-forwards the loader to the saved
+    # batch (train/loop.py::fit). Pair with async_checkpoint.
+    checkpoint_steps: int = 0
 
 
 @dataclass
@@ -233,6 +237,7 @@ class Config:
             "lr_schedule": ("optim", "lr_schedule"),
             "lr_factor": ("optim", "lr_factor"),
             "lr_patience": ("optim", "lr_patience"),
+            "checkpoint_steps": ("optim", "checkpoint_steps"),
             # mask
             "maskPerturbType": ("mask", "mask_perturb_type"),
             "min_score": ("mask", "min_score"),
@@ -362,6 +367,7 @@ _OVERRIDES = [
     ("--recurrent_activation", "-ract", "model.recurrent_activation", str),
     ("--kernel_l2", "-kl2", "model.kernel_l2", float),
     ("--async_checkpoint", "-actk", "async_checkpoint", int),
+    ("--checkpoint_steps", "-ckst", "optim.checkpoint_steps", int),
 ]
 
 

@@ -231,18 +231,28 @@ class ClipLoader:
         self.mesh = mesh
         self.to_device = to_device
         self._epoch = 0
+        self._skip_batches = 0  # consumed by the next __iter__ only
         self._native = None  # lazily resolved native-decode capability
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _batch_indices(self):
+    def set_epoch(self, epoch: int, skip_batches: int = 0):
+        """Pin the next iteration's shuffle epoch (torch DistributedSampler
+        style) so batch order is a pure function of (seed, epoch) across
+        process restarts, and optionally skip the first ``skip_batches``
+        batches at the INDEX level — mid-epoch resume pays zero decode for
+        the already-trained prefix (train/loop.py::fit)."""
+        self._epoch = epoch - 1  # __iter__ pre-increments
+        self._skip_batches = skip_batches
+
+    def _batch_indices(self, skip: int):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.RandomState(self.seed + self._epoch).shuffle(idx)
         nb = len(self)
-        for b in range(nb):
+        for b in range(skip, nb):
             sl = idx[b * self.batch_size : (b + 1) * self.batch_size]
             if len(sl):
                 yield sl
@@ -310,6 +320,7 @@ class ClipLoader:
 
     def __iter__(self) -> Iterator:
         self._epoch += 1
+        skip, self._skip_batches = self._skip_batches, 0
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
         cancel = threading.Event()
@@ -328,7 +339,7 @@ class ClipLoader:
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for indices in self._batch_indices():
+                    for indices in self._batch_indices(skip):
                         if not _put(self._assemble(pool, indices)):
                             return
             except BaseException as exc:  # surface on the consumer side

@@ -121,9 +121,19 @@ def train_epoch(
     rng: jax.Array,
     print_freq: int = 0,
     max_steps: Optional[int] = None,
+    skip_steps: int = 0,
+    step_offset: int = 0,
+    step_callback: Optional[Callable[[TrainState, int], None]] = None,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """One epoch over ``loader`` yielding (clips, labels) device-ready
-    batches. Returns (state, epoch metrics)."""
+    batches. Returns (state, epoch metrics).
+
+    Mid-epoch resume support: ``skip_steps`` discards the loader's first
+    batches (the fallback when the loader can't skip at the index level —
+    ClipLoader.set_epoch does it for free); ``step_offset`` is how many
+    batches of this epoch an upstream mechanism already handled, so
+    ``step_callback(state, done_in_epoch)`` sees the true in-epoch batch
+    count for periodic mid-epoch checkpoints."""
     meters = {k: AverageMeter() for k in ("loss", "top1", "top5", "batch_time")}
     # Defer metric fetches: a float() per step blocks the host on every
     # step's completion, serializing dispatch and defeating the loader's
@@ -142,7 +152,9 @@ def train_epoch(
     t_epoch = time.time()
     steps = 0
     for i, (clips, labels) in enumerate(loader):
-        if max_steps is not None and i >= max_steps:
+        if i < skip_steps:
+            continue  # already trained before the mid-epoch checkpoint
+        if max_steps is not None and steps >= max_steps:
             break
         state, metrics = train_step(state, clips, labels, rng)
         pend.append((metrics, clips.shape[0]))
@@ -156,6 +168,8 @@ def train_epoch(
                     f"top1 {meters['top1'].avg:.2f} "
                     f"({dt:.3f}s/batch)"
                 )
+        if step_callback is not None:
+            step_callback(state, step_offset + steps)
     _drain()
     if steps:
         meters["batch_time"].update((time.time() - t_epoch) / steps, steps)
@@ -229,13 +243,23 @@ def fit(
     kernel_l2: float = 0.0,
     start_epoch: int = 0,
     best_loss: float = float("inf"),
+    checkpoint_every_steps: int = 0,
+    start_batch_offset: int = 0,
 ) -> Tuple[TrainState, list]:
     """Epoch orchestration mirroring train_i3d_smth.main (33-189): train,
     validate, plateau-LR step, plot, checkpoint best-on-val-loss; stops
     early when lr decays below ``last_lr`` (train_i3d_smth.py:156-158).
     ``start_epoch``/``best_loss`` come from a resumed checkpoint — the
     epoch loop is range(start_epoch, num_epochs) exactly as the reference
-    (train_i3d_smth.py:150-152)."""
+    (train_i3d_smth.py:150-152).
+
+    Preemption safety (beyond-reference): ``checkpoint_every_steps`` > 0
+    additionally checkpoints mid-epoch every N train batches (pair with
+    ``Checkpointer(async_save=True)`` so the save never blocks the step
+    loop); ``start_batch_offset`` (from a mid-epoch restore) fast-forwards
+    the first epoch's loader past the already-trained prefix — order is
+    deterministic because ClipLoader shuffles by (seed, epoch). Metrics
+    for a resumed epoch cover only its remainder."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     train_step = make_train_step(loss_type, kernel_l2=kernel_l2)
     eval_step = make_eval_step(loss_type)
@@ -256,6 +280,8 @@ def fit(
             plotter,
             start_epoch,
             best_loss,
+            checkpoint_every_steps,
+            start_batch_offset,
         )
     finally:
         if checkpointer is not None and hasattr(
@@ -283,6 +309,8 @@ def _fit_epochs(
     plotter,
     start_epoch,
     best_loss,
+    checkpoint_every_steps=0,
+    start_batch_offset=0,
 ):
     from ivf_tpu.train.optim import get_learning_rate, set_learning_rate
 
@@ -292,13 +320,36 @@ def _fit_epochs(
         if last_lr and lr_now < last_lr:
             print(f" > stopping: lr {lr_now} < last_lr {last_lr}")
             break
+        train_loader = train_loader_fn()
+        offset = start_batch_offset if epoch == start_epoch else 0
+        skip = offset
+        if hasattr(train_loader, "set_epoch"):
+            # deterministic (seed, epoch) order + free index-level skip
+            train_loader.set_epoch(epoch, skip_batches=offset)
+            skip = 0
+        step_cb = None
+        if checkpointer is not None and checkpoint_every_steps:
+
+            def step_cb(s, done_in_epoch, _epoch=epoch):
+                if done_in_epoch % checkpoint_every_steps == 0:
+                    checkpointer.save(
+                        s,
+                        _epoch,
+                        is_best=False,
+                        best_loss=best_loss,
+                        batch_offset=done_in_epoch,
+                    )
+
         state, train_metrics = train_epoch(
             state,
-            train_loader_fn(),
+            train_loader,
             train_step,
             rng,
             print_freq,
             max_steps_per_epoch,
+            skip_steps=skip,
+            step_offset=offset,
+            step_callback=step_cb,
         )
         val_metrics = evaluate(
             state, val_loader_fn(), eval_step, max_steps_per_epoch

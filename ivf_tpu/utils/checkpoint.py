@@ -77,7 +77,12 @@ class Checkpointer:
         epoch: int,
         is_best: bool = False,
         best_loss: float = float("inf"),
+        batch_offset: int = 0,
     ):
+        """``batch_offset`` > 0 marks a MID-epoch checkpoint (preemption
+        safety): ``batch_offset`` train batches of ``epoch`` are already in
+        ``state``, and restore resumes that epoch at that batch instead of
+        the next epoch (train/loop.py fast-forwards the loader)."""
         self.wait_until_finished()  # epoch N's write before touching N+1's
         payload = {
             "params": state.params,
@@ -86,6 +91,7 @@ class Checkpointer:
             "epoch": epoch,
             "step": state.step,
             "best_loss": float(best_loss),
+            "batch_offset": int(batch_offset),
         }
         path = self._path("checkpoint")
         if _primary() and os.path.exists(path):
@@ -108,12 +114,15 @@ class Checkpointer:
         name: str = "checkpoint",
         skip_logits: bool = False,
         logits_keys: tuple = ("logits", "end_fc", "fc", "gap_conv"),
-    ) -> tuple[TrainState, int, float]:
+    ) -> tuple[TrainState, int, float, int]:
         """Restore into ``state``; with ``skip_logits`` the classifier-head
         params keep their fresh values (class-count transfer,
-        train_i3d_smth.py:76-88). Returns (state, start_epoch, best_loss) —
-        the reference resume restores best_loss too (train_i3d_smth.py:76-88)
-        so a worse post-resume epoch can't overwrite model_best."""
+        train_i3d_smth.py:76-88). Returns
+        (state, start_epoch, best_loss, batch_offset) — the reference
+        resume restores best_loss too (train_i3d_smth.py:76-88) so a worse
+        post-resume epoch can't overwrite model_best. A mid-epoch
+        checkpoint (batch_offset > 0) resumes ITS epoch at that batch;
+        epoch-end checkpoints resume the next epoch with offset 0."""
         self.wait_until_finished()
         if skip_logits:
             return self._restore_skip_logits(state, name, logits_keys)
@@ -124,31 +133,40 @@ class Checkpointer:
             "epoch": 0,
             "step": 0,
             "best_loss": float("inf"),
+            "batch_offset": 0,
         }
-        # checkpoints written before best_loss existed (v0.1.0) fail orbax's
-        # strict tree matching — probe the stored keys (metadata read, no
-        # array IO) and default the missing value, instead of a blanket
-        # retry that could mask real restore failures
+        # checkpoints written before best_loss/batch_offset existed fail
+        # orbax's strict tree matching — probe the stored keys (metadata
+        # read, no array IO) and default the missing values, instead of a
+        # blanket retry that could mask real restore failures
         stored_keys = set(
             self._saver.metadata(self._path(name)).item_metadata.tree
         )
-        has_best = "best_loss" in stored_keys
-        if not has_best:
-            del template["best_loss"]
+        defaults = {"best_loss": float("inf"), "batch_offset": 0}
+        missing = [k for k in defaults if k not in stored_keys]
+        for k in missing:
+            del template[k]
         restored = self._saver.restore(self._path(name), template)
-        if not has_best:
-            restored["best_loss"] = float("inf")
+        for k in missing:
+            restored[k] = defaults[k]
         new_state = state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
             step=restored["step"],
         )
-        return new_state, int(restored["epoch"]) + 1, float(restored["best_loss"])
+        offset = int(restored["batch_offset"])
+        epoch = int(restored["epoch"])
+        return (
+            new_state,
+            epoch if offset > 0 else epoch + 1,
+            float(restored["best_loss"]),
+            offset,
+        )
 
     def _restore_skip_logits(
         self, state: TrainState, name: str, logits_keys: tuple
-    ) -> tuple[TrainState, int, float]:
+    ) -> tuple[TrainState, int, float, int]:
         """Class-count transfer: the checkpoint's classifier head (and its
         optimizer moments) may have a DIFFERENT class count than ``state``,
         so a templated restore fails orbax's strict shape matching. Restore
@@ -167,10 +185,13 @@ class Checkpointer:
             batch_stats=restored["batch_stats"],
         )
         best = restored.get("best_loss")
+        # class-count transfer starts a FRESH optimizer, so a mid-epoch
+        # offset is meaningless here — always begin at the next epoch
         return (
             new_state,
             int(restored["epoch"]) + 1,
             float(best) if best is not None else float("inf"),
+            0,
         )
 
     def exists(self, name: str = "checkpoint") -> bool:

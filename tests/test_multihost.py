@@ -157,7 +157,7 @@ def test_async_checkpointer_roundtrip_and_deferred_best(tmp_path):
     fresh = create_train_state(
         model, jax.random.PRNGKey(7), sample, build_optimizer("adam", 1e-3)
     )
-    restored, start_epoch, best = ckpt.restore(fresh)
+    restored, start_epoch, best, _ = ckpt.restore(fresh)
     assert start_epoch == 1 and best == 1.5
     jax.tree.map(
         np.testing.assert_array_equal, restored.params, state.params
@@ -173,7 +173,7 @@ def test_async_checkpointer_roundtrip_and_deferred_best(tmp_path):
         np.testing.assert_array_equal, best_vars["params"], state.params
     )
     # while the live checkpoint moved on
-    _, epoch2, _ = ckpt.restore(fresh)
+    _, epoch2, _, _ = ckpt.restore(fresh)
     assert epoch2 == 2
 
 
@@ -266,7 +266,7 @@ def test_fit_with_async_checkpointer_completes_final_write(tmp_path):
     )
     assert len(history) == 2
     # both the rolling checkpoint and the best-copy landed on disk
-    restored, start_epoch, best = ckpt.restore(state)
+    restored, start_epoch, best, _ = ckpt.restore(state)
     assert start_epoch == 2
     assert ckpt.exists("model_best")
     assert np.isfinite(best)

@@ -200,7 +200,7 @@ def test_fit_with_scheduler_and_checkpoint(tmp_path):
     state2 = create_train_state(
         model, jax.random.PRNGKey(9), jnp.asarray(clips[:2]), tx
     )
-    restored, start_epoch, best_loss = ckpt.restore(state2)
+    restored, start_epoch, best_loss, _ = ckpt.restore(state2)
     assert start_epoch == 2
     assert best_loss == min(h["val"]["loss"] for h in history)
     jax.tree.map(
@@ -214,7 +214,7 @@ def test_fit_with_scheduler_and_checkpoint(tmp_path):
         model, jax.random.PRNGKey(11), jnp.asarray(clips[:2]), tx
     )
     fresh_fc = jax.tree.map(np.asarray, state3.params["fc"])
-    restored3, _, _ = ckpt.restore(state3, skip_logits=True)
+    restored3, _, _, _ = ckpt.restore(state3, skip_logits=True)
     np.testing.assert_allclose(
         np.asarray(restored3.params["fc"]["kernel"]), fresh_fc["kernel"]
     )
@@ -270,7 +270,7 @@ def test_restore_skip_logits_across_class_counts(tmp_path):
         small, jax.random.PRNGKey(7), jnp.asarray(clips[:2]), tx
     )
     fresh_fc = jax.tree.map(np.asarray, state_small.params["fc"])
-    restored, _, _ = ckpt.restore(state_small, skip_logits=True)
+    restored, _, _, _ = ckpt.restore(state_small, skip_logits=True)
     # head kept fresh (2-class), trunk taken from the checkpoint
     np.testing.assert_allclose(
         np.asarray(restored.params["fc"]["kernel"]), fresh_fc["kernel"]
@@ -457,7 +457,7 @@ def test_checkpoint_restore_tolerates_missing_best_loss(tmp_path):
     state2 = create_train_state(
         model, jax.random.PRNGKey(5), jnp.asarray(clips[:2]), tx
     )
-    restored, start_epoch, best_loss = ckpt.restore(state2)
+    restored, start_epoch, best_loss, _ = ckpt.restore(state2)
     assert start_epoch == 4
     assert best_loss == float("inf")
     jax.tree.map(
