@@ -330,6 +330,11 @@ def train(
         checkpoint_every_steps=cfg.optim.checkpoint_steps,
         start_batch_offset=batch_offset,
     )
+    if history and jax.process_index() == 0:
+        import json
+
+        with open(os.path.join(save_dir, "history.json"), "w") as f:
+            json.dump(history, f, indent=1, default=float)  # jax/np scalars
     return state, history
 
 
