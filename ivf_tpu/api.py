@@ -49,6 +49,55 @@ def _traced(label: str, dispatch):
     return out
 
 
+class _AsyncWriter:
+    """Single-worker background writer for per-clip viz/artifact I/O.
+
+    ``find_masks`` renders PNG triptychs / GIFs / score txt files per kept
+    clip; inline, that host I/O serializes against the *next* batch's device
+    search. Offloading it overlaps host rendering with device compute. Only
+    pure-host work on already-fetched numpy arrays runs in the worker —
+    device programs and result-list appends stay on the calling thread.
+    Bounded to ``max_pending`` outstanding batch jobs (host-RAM bound);
+    worker exceptions re-raise on a later submit() or at close().
+    """
+
+    def __init__(self, enabled: bool, max_pending: int = 2):
+        self._ex = None
+        self._pending: list = []
+        self._max_pending = max_pending
+        if enabled:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._ex = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ivf-viz"
+            )
+
+    def submit(self, fn) -> None:
+        if self._ex is None:
+            fn()
+            return
+        while len(self._pending) >= self._max_pending:
+            self._pending.pop(0).result()  # re-raises worker failures
+        self._pending.append(self._ex.submit(fn))
+
+    def close(self, raise_errors: bool = True) -> None:
+        """Drain the queue and stop the worker. ``raise_errors=False`` (the
+        error-exit path) still waits but swallows worker exceptions so they
+        don't mask the original one."""
+        err = None
+        for f in self._pending:
+            try:
+                f.result()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                err = err or e
+        self._pending.clear()
+        if self._ex is not None:
+            self._ex.shutdown(wait=True)
+            self._ex = None
+        if err is not None and raise_errors:
+            raise err
+
+
 def default_effective_steps(clip_size: int) -> tuple:
     """Reference defaults: CLSTM_4.py:11 hardcodes [4,8,12,15] for step=16
     while the KTH driver passes [7,15,23,31] for 32 (train_clstm_kth.py:51-55)
@@ -694,11 +743,20 @@ def find_masks(
                 # point of chunking on execution-time-capped backends (the
                 # dispatch gap is ~30 ms against a ~30 s segment)
                 jax.block_until_ready(carry)
-            if rem_batch is not None:
-                carry = _traced(
-                    "segrem", partial(rem_batch, clips, targets, carry)
-                )
-                jax.block_until_ready(carry)
+                run_stats["segments_launched"] += 1
+                # Once every clip in the batch has converged, further
+                # segments are mathematical no-ops (the step fn freezes
+                # inactive rows' logits AND Adam state) — skip them. The
+                # flags are a B-bool fetch, paid only under early_stop.
+                if mk.early_stop and not np.asarray(carry[3]).any():
+                    break
+            else:
+                if rem_batch is not None:
+                    carry = _traced(
+                        "segrem", partial(rem_batch, clips, targets, carry)
+                    )
+                    jax.block_until_ready(carry)
+                    run_stats["segments_launched"] += 1
             return _traced(
                 "finalize+cam", partial(epilogue, clips, targets, carry)
             )
@@ -750,9 +808,13 @@ def find_masks(
         "search_launches": 0,
         "searched_rows": 0,
         "padded_rows": 0,
+        # chunked-path segment programs actually launched; under early_stop
+        # a batch whose clips all converge stops launching segments early
+        "segments_launched": 0,
     }
     flush_idx = [0]
     pert_cache: dict = {}
+    viz_writer = _AsyncWriter(enabled=mk.async_viz)
 
     def _pert_batch(ptype: str, snap: bool):
         key = (ptype, snap)
@@ -860,48 +922,67 @@ def find_masks(
                     )
                 )[:n]
             clips_f32 = np.asarray(clips_dev)[:n]
-            for j in range(n):
-                tag = ids_k[j]
-                out_folder = os.path.join(
-                    save_dir,
-                    "cam_saved_images",
-                    str(int(labels_np[j])),
-                    f"{tag}g_{int(pred[j])}",
-                    "combined",
-                )
-                os.makedirs(out_folder, exist_ok=True)
-                if do_gradcam:
-                    # per-clip score text files
-                    # (FindMasksComparison_I3D_smth.py:234-241)
-                    for nm, val in (
-                        ("Freeze", float(freeze_np[j])),
-                        ("Reverse", float(reverse_np[j])),
-                    ):
-                        with open(
-                            os.path.join(
-                                out_folder, f"ClassScore{nm}case{tag}.txt"
-                            ),
-                            "w",
-                        ) as f:
-                            f.write(str(val))
-                    for ptype in ("freeze", "reverse"):
-                        create_image_arrays(
-                            clips_f32[j],
-                            cams[j],
-                            masks_np[j],
-                            viz_perts[ptype][j],
-                            out_folder,
-                            case_tag=ptype + tag,
-                        )
-                if is_kth:
-                    visualize_results(
-                        clips_f32[j],
-                        kth_pert[j],
-                        masks_np[j],
-                        root_dir=out_folder,
-                        case=tag,
-                        mark_imgs=True,
+
+            # Pure-host rendering of this (already-fetched) batch; runs in
+            # the background writer so the next batch's search launches
+            # while these images write (MaskConfig.async_viz).
+            def _viz_job(
+                n=n,
+                ids_k=ids_k,
+                labels_np=labels_np,
+                pred=pred,
+                cams=cams,
+                masks_np=masks_np,
+                freeze_np=freeze_np,
+                reverse_np=reverse_np,
+                viz_perts=viz_perts,
+                kth_pert=kth_pert,
+                clips_f32=clips_f32,
+            ):
+                for j in range(n):
+                    tag = ids_k[j]
+                    out_folder = os.path.join(
+                        save_dir,
+                        "cam_saved_images",
+                        str(int(labels_np[j])),
+                        f"{tag}g_{int(pred[j])}",
+                        "combined",
                     )
+                    os.makedirs(out_folder, exist_ok=True)
+                    if do_gradcam:
+                        # per-clip score text files
+                        # (FindMasksComparison_I3D_smth.py:234-241)
+                        for nm, val in (
+                            ("Freeze", float(freeze_np[j])),
+                            ("Reverse", float(reverse_np[j])),
+                        ):
+                            with open(
+                                os.path.join(
+                                    out_folder, f"ClassScore{nm}case{tag}.txt"
+                                ),
+                                "w",
+                            ) as f:
+                                f.write(str(val))
+                        for ptype in ("freeze", "reverse"):
+                            create_image_arrays(
+                                clips_f32[j],
+                                cams[j],
+                                masks_np[j],
+                                viz_perts[ptype][j],
+                                out_folder,
+                                case_tag=ptype + tag,
+                            )
+                    if is_kth:
+                        visualize_results(
+                            clips_f32[j],
+                            kth_pert[j],
+                            masks_np[j],
+                            root_dir=out_folder,
+                            case=tag,
+                            mark_imgs=True,
+                        )
+
+            viz_writer.submit(_viz_job)
 
     def _flush_ready(final: bool = False):
         while len(ready) >= B or (final and ready):
@@ -927,51 +1008,60 @@ def find_masks(
                     ready.append((clip, label, cid, outs[j]))
             _flush_ready()
 
-    for bidx, batch in enumerate(loader):
-        if max_batches is not None and bidx >= max_batches:
-            break
-        clips, labels, ids = batch if len(batch) == 3 else (*batch, None)
-        clips_np = np.asarray(clips)
-        labels_np = np.asarray(labels)
-        # fallback ids carry the batch index so different batches can never
-        # collide in result keys / viz output dirs
-        ids = (
-            ids
-            if ids is not None
-            else [f"b{bidx}_{i}" for i in range(len(labels_np))]
-        )
-
-        # class-of-interest / subset filtering (host side)
-        keep = np.ones(len(labels_np), bool)
-        if mk.class_oi is not None:
-            keep &= labels_np == mk.class_oi
-        if subset_ids is not None:
-            keep &= np.asarray([str(i) in subset_ids for i in ids])
-        if mk.kth_clips_filter:
-            from ivf_tpu.data.kth_clips_of_interest import tag_matches
-
-            keep &= np.asarray(
-                [tag_matches(str(i), cfg.split_type) for i in ids]
+    _body_ok = False
+    try:
+        for bidx, batch in enumerate(loader):
+            if max_batches is not None and bidx >= max_batches:
+                break
+            clips, labels, ids = batch if len(batch) == 3 else (*batch, None)
+            clips_np = np.asarray(clips)
+            labels_np = np.asarray(labels)
+            # fallback ids carry the batch index so different batches can
+            # never collide in result keys / viz output dirs
+            ids = (
+                ids
+                if ids is not None
+                else [f"b{bidx}_{i}" for i in range(len(labels_np))]
             )
-        for i in np.nonzero(keep)[0]:
-            # copy() the row: a view would pin its WHOLE loader batch in
-            # host RAM, and under selective filters staged rows span many
-            # batches — up to (B-1) full batches of dead memory otherwise
-            if mk.min_score > 0.0:
-                pending.append((clips_np[i].copy(), int(labels_np[i]), ids[i]))
-            else:
-                ready.append(
-                    (clips_np[i].copy(), int(labels_np[i]), ids[i], None)
-                )
-        if mk.min_score > 0.0:
-            _flush_pending()
-        else:
-            _flush_ready()
 
-    # drain the staging buffers (the only padded launches of the run)
-    if mk.min_score > 0.0:
-        _flush_pending(final=True)
-    _flush_ready(final=True)
+            # class-of-interest / subset filtering (host side)
+            keep = np.ones(len(labels_np), bool)
+            if mk.class_oi is not None:
+                keep &= labels_np == mk.class_oi
+            if subset_ids is not None:
+                keep &= np.asarray([str(i) in subset_ids for i in ids])
+            if mk.kth_clips_filter:
+                from ivf_tpu.data.kth_clips_of_interest import tag_matches
+
+                keep &= np.asarray(
+                    [tag_matches(str(i), cfg.split_type) for i in ids]
+                )
+            for i in np.nonzero(keep)[0]:
+                # copy() the row: a view would pin its WHOLE loader batch in
+                # host RAM, and under selective filters staged rows span
+                # many batches — up to (B-1) full batches of dead memory
+                if mk.min_score > 0.0:
+                    pending.append(
+                        (clips_np[i].copy(), int(labels_np[i]), ids[i])
+                    )
+                else:
+                    ready.append(
+                        (clips_np[i].copy(), int(labels_np[i]), ids[i], None)
+                    )
+            if mk.min_score > 0.0:
+                _flush_pending()
+            else:
+                _flush_ready()
+
+        # drain the staging buffers (the only padded launches of the run)
+        if mk.min_score > 0.0:
+            _flush_pending(final=True)
+        _flush_ready(final=True)
+        _body_ok = True
+    finally:
+        # drain/stop the background viz writer; on the error path, wait but
+        # don't let a worker failure mask the original exception
+        viz_writer.close(raise_errors=_body_ok)
     if stats is not None:
         stats.update(run_stats)
 

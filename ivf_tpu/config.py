@@ -159,6 +159,13 @@ class MaskConfig:
     # single executions >~1 min; a batch-128 300-step program runs ~85 s),
     # monolithic elsewhere. Set an int to force a segment length.
     chunk_steps: Optional[int] = None
+    # Overlap per-clip viz/artifact writing (PNG triptychs, GIFs, score txt
+    # files) with the next batch's device search via a single background
+    # writer thread. Device programs stay on the main thread; only the
+    # already-fetched host arrays render in the worker, bounded to 2
+    # in-flight batches. False = write inline (bit-identical artifacts,
+    # serialized after each search launch like the reference drivers).
+    async_viz: bool = True
 
 
 @dataclass

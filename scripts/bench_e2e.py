@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from ivf_tpu.data.synthetic import SyntheticClips  # noqa: E402
 
 
-def run_case(cfg, variables, dataset, label, do_gradcam):
+def run_case(cfg, variables, dataset, label, do_gradcam, save_viz=False):
     from ivf_tpu.api import find_masks
 
     stats = {}
@@ -54,7 +54,7 @@ def run_case(cfg, variables, dataset, label, do_gradcam):
         cfg,
         variables,
         dataset=dataset,
-        save_viz=False,
+        save_viz=save_viz,
         do_gradcam=do_gradcam,
         stats=stats,
     )
@@ -81,6 +81,16 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--no-gradcam", action="store_true")
+    ap.add_argument(
+        "--viz",
+        choices=("off", "async", "inline"),
+        default="off",
+        help="render the per-clip viz artifacts (triptychs/GIFs/score txt) "
+        "in the measured cases: 'async' = background writer overlapping "
+        "the next batch's search (MaskConfig.async_viz, the default), "
+        "'inline' = reference-style serialized writes — the pair measures "
+        "the host/device overlap win",
+    )
     ap.add_argument(
         "--skip-filtered",
         action="store_true",
@@ -121,19 +131,26 @@ def main():
     api_mod.build_model = lambda c, softmax_override=None: model
     results = {"batch": args.batch, "steps": args.steps}
     try:
-        # warm pass compiles every program (score/init/search/cam) on a
-        # tiny clip count so the measured runs are compile-free
+        save_viz = args.viz != "off"
+        cfg.mask.async_viz = args.viz == "async"
+        results["viz"] = args.viz
+        # warm pass compiles every program (score/init/search/cam + the viz
+        # perturbations when viz is on) on a tiny clip count so the
+        # measured runs are compile-free
         warm_ds = SyntheticClips(args.batch, num_classes=174)
         t0 = time.time()
-        run_case(cfg, variables, warm_ds, "warm(compile)", not args.no_gradcam)
+        run_case(
+            cfg, variables, warm_ds, "warm(compile)",
+            not args.no_gradcam, save_viz=save_viz,
+        )
         results["compile_warm_s"] = round(time.time() - t0, 1)
-
         results["unfiltered"] = run_case(
             cfg,
             variables,
             SyntheticClips(args.clips, num_classes=174),
-            "unfiltered",
+            f"unfiltered (viz={args.viz})",
             not args.no_gradcam,
+            save_viz=save_viz,
         )
 
         # the reference's real workload: 1/174 of clips kept — size the raw

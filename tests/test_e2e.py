@@ -762,6 +762,121 @@ def test_find_masks_final_flush_handles_remainder(tmp_path):
     assert stats["padded_rows"] == 2  # only the final flush pads
 
 
+def _tiny_clstm_cfg(tmp_path, name, **mask_overrides):
+    import jax
+    import jax.numpy as jnp
+
+    from ivf_tpu.api import build_model
+
+    cfg = Config.from_dict(
+        {
+            "model_name": name,
+            "output_dir": str(tmp_path / name),
+            "conv_model": "clstm",
+            "num_classes": 2,
+            "batch_size": 4,
+            "clip_size": 8,
+            "input_spatial_size": 32,
+            "clstm_hidden": 4,
+            "clstm_layers": 1,
+            "conv_stride": 1,
+            "dropout": 0.0,
+            "num_workers": 1,
+        }
+    )
+    cfg.model.effective_steps = (3, 7)
+    for k, v in mask_overrides.items():
+        setattr(cfg.mask, k, v)
+    model = build_model(cfg, softmax_override=True)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 32, 32, 3))
+    )
+    return cfg, variables
+
+
+def test_find_masks_early_stop_skips_converged_segments(tmp_path):
+    """Under early_stop, once every clip in a batch has converged the
+    remaining chunked segments are mathematical no-ops (the step fn freezes
+    inactive rows' logits and Adam state) — the driver stops launching
+    them. The exact-parity default (early_stop=False) still launches every
+    segment. (Beyond-reference: the reference's own early stop is dead
+    code; interpret/mask_opt.py docstring.)"""
+    ds = _SyntheticClipDataset(4, t=8, hw=32, num_classes=2, lazy=False)
+
+    # control: all ceil(6/2)=3 segments launch
+    cfg, variables = _tiny_clstm_cfg(
+        tmp_path, "es_ctl", opt_iter=6, chunk_steps=2
+    )
+    stats = {}
+    tm, _ = find_masks(
+        cfg, variables, dataset=ds, save_viz=False, do_gradcam=False,
+        stats=stats,
+    )
+    assert len(tm) == 4
+    assert stats["segments_launched"] == 3
+
+    # early_stop with a huge eta: every clip converges on its first step
+    # (|999999 - loss| < eta), so segments 2 and 3 never launch
+    cfg2, variables2 = _tiny_clstm_cfg(
+        tmp_path, "es_on", opt_iter=6, chunk_steps=2,
+        early_stop=True, eta=1e9,
+    )
+    stats2 = {}
+    tm2, _ = find_masks(
+        cfg2, variables2, dataset=ds, save_viz=False, do_gradcam=False,
+        stats=stats2,
+    )
+    assert len(tm2) == 4
+    assert stats2["segments_launched"] == 1
+    assert stats2["search_launches"] == 1
+
+
+def test_find_masks_async_viz_matches_inline(tmp_path):
+    """The background viz writer (MaskConfig.async_viz, default on) must
+    produce a byte-identical artifact tree to the inline path — same PNGs,
+    GIFs, and per-clip score txt files, just overlapped with the next
+    batch's device search."""
+    ds = _SyntheticClipDataset(4, t=8, hw=32, num_classes=2, lazy=False)
+    trees = {}
+    for flag in (True, False):
+        name = f"aviz_{int(flag)}"
+        cfg, variables = _tiny_clstm_cfg(
+            tmp_path, name, opt_iter=2, async_viz=flag
+        )
+        find_masks(cfg, variables, dataset=ds, save_viz=True, do_gradcam=True)
+        root = os.path.join(cfg.output_dir, cfg.model_name, "cam_saved_images")
+        tree = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    tree[os.path.relpath(p, root)] = fh.read()
+        trees[flag] = tree
+    assert trees[True], "async run wrote no viz artifacts"
+    assert sorted(trees[True]) == sorted(trees[False])
+    for rel, blob in trees[True].items():
+        assert blob == trees[False][rel], f"artifact differs: {rel}"
+
+
+def test_async_writer_propagates_worker_errors():
+    """A failing viz job must surface to the caller (on a later submit or
+    at close), never silently drop artifacts."""
+    from ivf_tpu.api import _AsyncWriter
+
+    w = _AsyncWriter(enabled=True, max_pending=1)
+
+    def boom():
+        raise RuntimeError("viz failed")
+
+    w.submit(boom)
+    with pytest.raises(RuntimeError, match="viz failed"):
+        w.close()
+    # error path: close(raise_errors=False) swallows but still drains
+    w2 = _AsyncWriter(enabled=True, max_pending=1)
+    w2.submit(boom)
+    w2.close(raise_errors=False)
+
+
 @pytest.mark.slow
 def test_e2e_find_masks_data_parallel_matches_single(e2e_cfg, e2e_trained):
     """find_masks over a 4-device data mesh returns the same masks/scores
