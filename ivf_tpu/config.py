@@ -83,7 +83,9 @@ class ModelConfig:
     use_pallas: bool = False  # route eligible ops through Pallas kernels
     pool_impl: str = "reduce_window"  # I3D maxpools: 'reduce_window' |
     # 'shift' (separable slice-max chain) | 'eqbwd' (equality-stencil VJP
-    # for the stride-1 branch pools) — all measured in PERF.md
+    # for the stride-1 branch pools) | 'argmax' (uint8 index-plane VJP,
+    # stride-1 branch pools, bf16 — the measured +9% winner) |
+    # 'argmax_full' (argmax incl. strided trunk pools) — see PERF.md
     fuse_pool_conv: bool = False  # I3D Inception branch-3 pool+1x1conv
     # as one Pallas kernel per direction (inference/mask search only)
     # Keras-ConvLSTM2D cell fidelity knobs for the TF model family

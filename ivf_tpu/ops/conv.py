@@ -168,12 +168,37 @@ def max_pool3d_same(
     (JAX ``balanced_eq``) where torch routes to one window element — the
     same documented deviation class as ops/pallas/maxpool3d.py, opt-in via
     the models' ``pool_impl`` knob.
+
+    ``impl='eqbwd'`` / ``impl='argmax'``: custom stencil VJPs for the
+    stride-1 (branch) pools — see ``_max_pool3d_same_eqbwd`` /
+    ``_max_pool3d_same_argmax``; strided trunk pools (and, for 'argmax',
+    non-16-bit dtypes) fall through to the native path. 'argmax' is the
+    measured winner on the bench chip (+9% mask-steps/s, PERF.md).
+
+    ``impl='argmax_full'``: 'argmax' extended to the strided trunk pools
+    via ``_max_pool3d_same_argmax_strided`` (dilated-pad scatter VJP).
+    Kept opt-in: the combined program trips the axon remote compiler
+    (HTTP 500) at the production batch, the same failure mode as remat
+    at batch 192+ (PERF.md).
     """
     if impl == "eqbwd" and tuple(strides) == (1, 1, 1):
         # eq-stencil VJP applies to the stride-1 (branch) pools — where the
         # select_and_scatter cost lives; strided trunk pools fall through
         # to the native path
         return _max_pool3d_same_eqbwd(x, tuple(window), tuple(strides))
+    if impl in ("argmax", "argmax_full") and x.dtype in (
+        jnp.bfloat16,
+        jnp.float16,
+    ):
+        # argmax-index VJP: fewest-byte stencil (uint8 index plane instead
+        # of the x/y value planes); 16-bit dtypes only (the packed uint32
+        # reduce needs the value in 16 bits) — others fall through native
+        if tuple(strides) == (1, 1, 1):
+            return _max_pool3d_same_argmax(x, tuple(window), tuple(strides))
+        if impl == "argmax_full":
+            return _max_pool3d_same_argmax_strided(
+                x, tuple(window), tuple(strides), x.shape
+            )
     pad = explicit_same_padding(x.shape[1:4], window, strides)
     pad_cfg = ((0, 0),) + tuple(pad) + ((0, 0),)
     x = jnp.pad(x, pad_cfg, mode="constant", constant_values=0.0)
@@ -247,6 +272,168 @@ def _eqbwd_bwd(window, strides, res, g):
 
 
 _max_pool3d_same_eqbwd.defvjp(_eqbwd_fwd, _eqbwd_bwd)
+
+
+def _monotone_u16(x):
+    """Order-preserving bijection 16-bit float -> uint16 (the radix-sort
+    flip): positives map above negatives, both monotonically."""
+    b = lax.bitcast_convert_type(x, jnp.uint16)
+    return jnp.where(b >> 15 == 0, b | jnp.uint16(0x8000), ~b)
+
+
+def _from_monotone_u16(u, dtype):
+    b = jnp.where(u >> 15 == 1, u & jnp.uint16(0x7FFF), ~u)
+    return lax.bitcast_convert_type(b, dtype)
+
+
+def _window_key(shape, window, offsets=(0, 0, 0)):
+    """Per-position window-local key: within ANY w-wide window the w
+    consecutive coordinates are distinct mod w, so the packed key
+    identifies the argmax position unambiguously. ``offsets`` shifts the
+    coordinate system (bwd computes keys for unpadded x in padded coords)."""
+    kt = (lax.broadcasted_iota(jnp.uint32, shape, 1) + offsets[0]) % window[0]
+    kh = (lax.broadcasted_iota(jnp.uint32, shape, 2) + offsets[1]) % window[1]
+    kw = (lax.broadcasted_iota(jnp.uint32, shape, 3) + offsets[2]) % window[2]
+    return kt * (window[1] * window[2]) + kh * window[2] + kw
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _max_pool3d_same_argmax(x, window, strides):
+    """Identical forward values to the default pool via a packed
+    (value<<k | window_key) uint32 max reduce; the VJP reads only a uint8
+    argmax-index plane — the fewest-byte pool backward in this file:
+
+        dx[i] = sum over windows j covering i of  g[j] * (idx[j] == key(i))
+
+    vs the eq-stencil's x/y value reads (~3/8 fewer stencil bytes, and the
+    residual is one uint8 plane instead of (x, y)). 16-bit float dtypes,
+    stride-1 windows only (dispatch in ``max_pool3d_same``).
+
+    Tie semantics deviation (documented, opt-in like 'eqbwd'): each
+    window routes its FULL cotangent to exactly ONE tied element (the
+    largest window-key, a valid max subgradient); torch/select_and_scatter
+    pick the first max, 'eqbwd' credits every tie. Identical gradients
+    whenever window maxima are unique.
+    """
+    y, _ = _argmax_pool_core(x, window, strides)
+    return y
+
+
+def _argmax_pool_core(x, window, strides):
+    pad = explicit_same_padding(x.shape[1:4], window, strides)
+    cfg = ((0, 0),) + tuple(pad) + ((0, 0),)
+    xp = jnp.pad(x, cfg, mode="constant", constant_values=0.0)
+    nbits = (window[0] * window[1] * window[2] - 1).bit_length()
+    packed_in = (_monotone_u16(xp).astype(jnp.uint32) << nbits) | _window_key(
+        xp.shape, window
+    )
+    packed = lax.reduce_window(
+        packed_in,
+        jnp.uint32(0),
+        lax.max,
+        window_dimensions=(1, *window, 1),
+        window_strides=(1, *strides, 1),
+        padding="VALID",
+    )
+    y = _from_monotone_u16((packed >> nbits).astype(jnp.uint16), x.dtype)
+    idx = (packed & ((1 << nbits) - 1)).astype(jnp.uint8)
+    return y, idx
+
+
+def _argmax_fwd(x, window, strides):
+    y, idx = _argmax_pool_core(x, window, strides)
+    return y, idx
+
+
+def _argmax_bwd(window, strides, idx, g):
+    assert tuple(strides) == (1, 1, 1), "argmax pool is stride-1 only"
+    # stride-1 SAME: output shape == input shape, so the pad geometry is
+    # recomputable from g alone and idx is the whole residual
+    lohi = explicit_same_padding(g.shape[1:4], window, strides)
+    cfg = ((0, 0),) + tuple(
+        (w - 1 - lo, w - 1 - hi) for (lo, hi), w in zip(lohi, window)
+    ) + ((0, 0),)
+    gp = jnp.pad(g, cfg, constant_values=0.0)
+    # 255 can never equal a window key (keys < prod(window) <= 27)
+    ip = jnp.pad(idx, cfg, constant_values=255)
+    # key of each input position in the PADDED coordinate system (matching
+    # the forward's keys)
+    key = _window_key(
+        g.shape, window, offsets=tuple(lo for lo, _ in lohi)
+    ).astype(jnp.uint8)
+    nt, nh, nw = g.shape[1:4]
+    dx = jnp.zeros(g.shape, g.dtype)
+    for kt in range(window[0]):
+        for kh in range(window[1]):
+            for kw in range(window[2]):
+                gs = gp[:, kt : kt + nt, kh : kh + nh, kw : kw + nw, :]
+                sel = ip[:, kt : kt + nt, kh : kh + nh, kw : kw + nw, :]
+                dx = dx + gs * (sel == key).astype(g.dtype)
+    return (dx,)
+
+
+_max_pool3d_same_argmax.defvjp(_argmax_fwd, _argmax_bwd)
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _max_pool3d_same_argmax_strided(x, window, strides, xshape):
+    """Strided-window companion of ``_max_pool3d_same_argmax`` (the trunk
+    pools). Same packed forward; the backward scatters each in-window
+    offset's contribution back to input geometry with an interior-dilated
+    ``lax.pad`` instead of a shifted slice (stride-1 is a special case of
+    this, kept separate because its slice form needs no dilation).
+    ``xshape`` rides as a static arg: strided SAME output shape does not
+    determine the input shape."""
+    y, _ = _argmax_pool_core(x, window, strides)
+    return y
+
+
+def _argmax_s_fwd(x, window, strides, xshape):
+    y, idx = _argmax_pool_core(x, window, strides)
+    return y, idx
+
+
+def _argmax_s_bwd(window, strides, xshape, idx, g):
+    lohi = explicit_same_padding(xshape[1:4], window, strides)
+    padded = [n + lo + hi for n, (lo, hi) in zip(xshape[1:4], lohi)]
+    n_out = g.shape[1:4]
+    wt, wh, ww = window
+    st, sh, sw = strides
+    it = lax.broadcasted_iota(jnp.uint32, g.shape, 1)
+    ih = lax.broadcasted_iota(jnp.uint32, g.shape, 2)
+    iw = lax.broadcasted_iota(jnp.uint32, g.shape, 3)
+    dxp = jnp.zeros((xshape[0], *padded, xshape[4]), g.dtype)
+    zero = jnp.zeros((), g.dtype)
+    for kt in range(wt):
+        for kh in range(wh):
+            for kw in range(ww):
+                # key of padded input position j*s+k, as a function of the
+                # output index j — matches the forward's _window_key
+                key = (
+                    ((it * st + kt) % wt) * (wh * ww)
+                    + ((ih * sh + kh) % wh) * ww
+                    + ((iw * sw + kw) % ww)
+                ).astype(jnp.uint8)
+                contrib = g * (idx == key).astype(g.dtype)
+                pad_cfg = [(0, 0, 0)]
+                for k, s, p, n in zip(
+                    (kt, kh, kw), strides, padded, n_out
+                ):
+                    pad_cfg.append((k, p - (n - 1) * s - k - 1, s - 1))
+                pad_cfg.append((0, 0, 0))
+                dxp = dxp + lax.pad(contrib, zero, pad_cfg)
+    (t0, _), (h0, _), (w0, _) = lohi
+    dx = dxp[
+        :,
+        t0 : t0 + xshape[1],
+        h0 : h0 + xshape[2],
+        w0 : w0 + xshape[3],
+        :,
+    ]
+    return (dx,)
+
+
+_max_pool3d_same_argmax_strided.defvjp(_argmax_s_fwd, _argmax_s_bwd)
 
 
 def max_pool2d_valid(x: jax.Array, window: Sequence[int]) -> jax.Array:

@@ -110,6 +110,16 @@ VARIANTS = {
     "shiftpool_f3_128": dict(batch=128, pool_impl="shift", fuse_3x3=True),
     "shiftpool_96": dict(batch=96, pool_impl="shift"),
     "shiftpool_160": dict(batch=160, pool_impl="shift", clip_bf16=True),
+    # argmax-index pool VJP: uint8 index plane replaces the x/y value
+    # reads in the branch-pool backward stencil (fewest-byte pool bwd).
+    # 'argmax' = stride-1 branch pools only (+9% measured); 'argmax_full'
+    # adds the strided trunk pools (dilated-pad scatter) — trips the
+    # remote compiler (HTTP 500) at batch 128, kept for re-testing.
+    "argmaxpool_128": dict(batch=128, pool_impl="argmax"),
+    "argmaxpool_f3_128": dict(batch=128, pool_impl="argmax", fuse_3x3=True),
+    "argmaxfull_128": dict(batch=128, pool_impl="argmax_full"),
+    "argmaxfull_96": dict(batch=96, pool_impl="argmax_full"),
+    "eqbwdpool_128": dict(batch=128, pool_impl="eqbwd"),
 }
 
 

@@ -522,3 +522,138 @@ def test_maxpool_eqbwd_grads_match_native_on_unique_max():
     a = max_pool3d_same(x, (3, 3, 3), (2, 2, 2))
     b = max_pool3d_same(x, (3, 3, 3), (2, 2, 2), impl="eqbwd")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_maxpool_argmax_forward_bit_equal_incl_ties():
+    """impl='argmax' forward is BIT-equal to the native pool on any bf16
+    data, ties and negatives included — the packed uint32 max reduce
+    decodes back to the exact max bits (ops/conv.py)."""
+    import jax.numpy as jnp
+
+    from ivf_tpu.ops.conv import max_pool3d_same
+
+    rng = np.random.RandomState(3)
+    # coarse integer grid forces many in-window ties; mixed signs exercise
+    # the monotone bit flip on both branches
+    x = jnp.asarray(
+        (rng.randint(-4, 5, size=(2, 6, 8, 10, 3))).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    for win in ((3, 3, 3), (2, 3, 3)):
+        a = max_pool3d_same(x, win, (1, 1, 1))
+        b = max_pool3d_same(x, win, (1, 1, 1), impl="argmax")
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32)
+        )
+
+
+def test_maxpool_argmax_grads_match_native_on_unique_max():
+    """impl='argmax' (uint8 index-plane VJP, the fewest-byte pool backward):
+    exactly equal gradients whenever window maxima are unique; strided
+    windows and non-16-bit dtypes fall back to the native path. Tie
+    deviation (one FULL cotangent per window, largest-key element) is
+    documented in ops/conv.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from ivf_tpu.ops.conv import max_pool3d_same
+
+    rng = np.random.RandomState(0)
+    # a permutation of 0..239 is exactly representable in bf16 (integers
+    # <= 256) and window-unique by construction
+    x = jnp.asarray(
+        rng.permutation(2 * 5 * 4 * 3 * 2)
+        .reshape(2, 5, 4, 3, 2)
+        .astype(np.float32)
+    ).astype(jnp.bfloat16)
+    f_ref = lambda v: jnp.sum(
+        jnp.sin(max_pool3d_same(v, (3, 3, 3), (1, 1, 1)).astype(jnp.float32))
+    )
+    f_am = lambda v: jnp.sum(
+        jnp.sin(
+            max_pool3d_same(
+                v, (3, 3, 3), (1, 1, 1), impl="argmax"
+            ).astype(jnp.float32)
+        )
+    )
+    np.testing.assert_allclose(float(f_ref(x)), float(f_am(x)), rtol=0)
+    np.testing.assert_array_equal(
+        np.asarray(jax.grad(f_ref)(x), np.float32),
+        np.asarray(jax.grad(f_am)(x), np.float32),
+    )
+    # tie subgradient validity: each window routes its cotangent to exactly
+    # one tied element — total mass is preserved on an all-equal input
+    xt = jnp.ones((1, 3, 3, 3, 1), jnp.bfloat16)
+    g = jax.grad(
+        lambda v: jnp.sum(
+            max_pool3d_same(v, (3, 3, 3), (1, 1, 1), impl="argmax").astype(
+                jnp.float32
+            )
+        )
+    )(xt)
+    assert float(jnp.sum(g.astype(jnp.float32))) == 27.0  # 27 windows, 1 each
+    # strided under impl='argmax': falls through to the NATIVE path (the
+    # strided extension is opt-in via 'argmax_full' — see dispatch note)
+    a = max_pool3d_same(x, (3, 3, 3), (2, 2, 2))
+    b = max_pool3d_same(x, (3, 3, 3), (2, 2, 2), impl="argmax")
+    np.testing.assert_array_equal(
+        np.asarray(a, np.float32), np.asarray(b, np.float32)
+    )
+    xf = x.astype(jnp.float32)
+    gf1 = jax.grad(
+        lambda v: jnp.sum(max_pool3d_same(v, (3, 3, 3), (1, 1, 1)))
+    )(xf)
+    gf2 = jax.grad(
+        lambda v: jnp.sum(
+            max_pool3d_same(v, (3, 3, 3), (1, 1, 1), impl="argmax")
+        )
+    )(xf)
+    np.testing.assert_array_equal(np.asarray(gf1), np.asarray(gf2))
+
+
+@pytest.mark.parametrize(
+    "shape,win,st",
+    [
+        ((2, 8, 14, 14, 4), (1, 3, 3), (1, 2, 2)),  # I3D pool2a/3a geometry
+        ((2, 8, 14, 14, 4), (3, 3, 3), (2, 2, 2)),  # pool4a
+        ((2, 8, 14, 14, 4), (2, 2, 2), (2, 2, 2)),  # pool5a
+        ((1, 7, 9, 11, 3), (3, 3, 3), (2, 2, 2)),  # odd sizes: asym SAME
+    ],
+)
+def test_maxpool_argmax_strided_matches_native(shape, win, st):
+    """The strided argmax pool (impl='argmax_full', dilated-pad scatter
+    VJP) is forward bit-equal and gradient-equal to the native
+    select_and_scatter path on unique-max bf16 data, at every trunk-pool
+    geometry the I3D uses."""
+    import jax
+    import jax.numpy as jnp
+
+    from ivf_tpu.ops.conv import max_pool3d_same
+
+    rng = np.random.RandomState(11)
+    n = int(np.prod(shape))
+    # distinct bf16-exact values: mantissa in [128, 256) (8 significand
+    # bits) x a distinct exponent per block of 128 — injective and exact
+    perm = rng.permutation(n)
+    vals = ((perm % 128 + 128) * np.exp2(perm // 128)).astype(np.float32)
+    x = jnp.asarray(vals.reshape(shape)).astype(jnp.bfloat16)
+    assert len(np.unique(np.asarray(x, np.float32))) == n  # tie-free
+    f_ref = lambda v: jnp.sum(
+        jnp.sin(max_pool3d_same(v, win, st).astype(jnp.float32))
+    )
+    f_am = lambda v: jnp.sum(
+        jnp.sin(
+            max_pool3d_same(v, win, st, impl="argmax_full").astype(
+                jnp.float32
+            )
+        )
+    )
+    np.testing.assert_array_equal(
+        np.asarray(max_pool3d_same(x, win, st), np.float32),
+        np.asarray(
+            max_pool3d_same(x, win, st, impl="argmax_full"), np.float32
+        ),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.grad(f_ref)(x), np.float32),
+        np.asarray(jax.grad(f_am)(x), np.float32),
+    )
