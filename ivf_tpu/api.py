@@ -556,6 +556,20 @@ def find_masks(
     from ivf_tpu.interpret.mask_opt import find_mask, init_mask_central
     from ivf_tpu.interpret.perturb import perturb_sequence
 
+    if (
+        cfg.model.compute_dtype == "bfloat16"
+        and cfg.model.pool_impl == "reduce_window"
+    ):
+        # argmax-index pool VJP: bit-equal forward, gradient-equal off
+        # exact window ties, +9% mask-steps/s measured (PERF.md). Engaged
+        # only for this driver's bf16 hot path and only when the user left
+        # pool_impl at its default; copy-on-write so the caller's cfg is
+        # untouched.
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg, model=_dc.replace(cfg.model, pool_impl="argmax")
+        )
     model = build_model(cfg, softmax_override=True)
     mk = cfg.mask
     dataset = dataset or build_dataset(cfg, split, get_item_id=True)

@@ -999,3 +999,103 @@ def test_e2e_cli_train_data_parallel(tmp_path):
     cli_main(["train", "-c", str(cfg_path), "--test_run", "-dp", "8"])
     run_dir = os.path.join(str(tmp_path / "out"), "cli_dp")
     assert os.path.isdir(run_dir)
+
+
+def test_find_masks_bf16_auto_upgrades_pool_impl(tmp_path):
+    """find_masks under compute_dtype=bfloat16 silently upgrades the
+    default pool_impl to 'argmax' (the measured +9% index-plane pool VJP,
+    PERF.md round 3) — copy-on-write: the caller's cfg must be untouched,
+    and an explicit non-default pool_impl must be respected."""
+    import ivf_tpu.api as api_mod
+
+    cfg = Config.from_dict(
+        {
+            "model_name": "bf16_pool",
+            "output_dir": str(tmp_path / "out"),
+            "conv_model": "i3d_smth",
+            "num_classes": 2,
+            "batch_size": 2,
+            "clip_size": 8,
+            "input_spatial_size": 32,
+        }
+    )
+    cfg.model.compute_dtype = "bfloat16"
+
+    class _Stop(Exception):
+        pass
+
+    seen = {}
+    orig = api_mod.build_model
+
+    def spy(c, softmax_override=None):
+        seen["pool_impl"] = c.model.pool_impl
+        raise _Stop
+
+    api_mod.build_model = spy
+    try:
+        with pytest.raises(_Stop):
+            api_mod.find_masks(cfg, {}, save_viz=False)
+        assert seen["pool_impl"] == "argmax"
+        assert cfg.model.pool_impl == "reduce_window"  # caller cfg untouched
+        # explicit user choice wins over the auto-upgrade
+        cfg.model.pool_impl = "shift"
+        with pytest.raises(_Stop):
+            api_mod.find_masks(cfg, {}, save_viz=False)
+        assert seen["pool_impl"] == "shift"
+        # f32 runs never upgrade
+        cfg.model.pool_impl = "reduce_window"
+        cfg.model.compute_dtype = "float32"
+        with pytest.raises(_Stop):
+            api_mod.find_masks(cfg, {}, save_viz=False)
+        assert seen["pool_impl"] == "reduce_window"
+    finally:
+        api_mod.build_model = orig
+
+
+@pytest.mark.slow
+def test_i3d_find_masks_bf16_argmax_pool(tmp_path):
+    """The bf16 production path of the mask search with pool_impl='argmax'
+    (what the auto-upgrade engages): sized-down I3D, real vmapped search +
+    Grad-CAM, finite artifacts — exercises the argmax pool VJP inside the
+    actual driver rather than in isolation (ops tests cover numerics)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = Config()
+    cfg.output_dir = str(tmp_path / "out")
+    cfg.model_name = "i3d_bf16_argmax"
+    cfg.model.conv_model = "i3d_smth"
+    cfg.model.num_classes = 2
+    cfg.model.dropout = 0.0
+    cfg.model.compute_dtype = "bfloat16"
+    cfg.data.clip_size = 16
+    cfg.data.input_spatial_size = 64
+    cfg.data.batch_size = 4
+    cfg.mask.opt_iter = 3
+
+    model = build_model(cfg, softmax_override=True)
+    # the auto-upgrade path: bf16 + default pool_impl -> argmax
+    model = model.clone(pool_shape=(2, 2, 2), pool_impl="argmax")
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 64, 3))
+    )
+
+    import ivf_tpu.api as api_mod
+
+    orig = api_mod.build_model
+    api_mod.build_model = lambda cfg, softmax_override=None: model
+    try:
+        tm, gc = api_mod.find_masks(
+            cfg,
+            variables,
+            dataset=_SyntheticClipDataset(
+                4, t=16, hw=64, num_classes=2, lazy=False
+            ),
+            save_viz=False,
+        )
+    finally:
+        api_mod.build_model = orig
+    assert len(tm) == 4 and len(gc) == 4
+    assert tm[0]["time_mask"].shape == (16,)
+    assert np.all((tm[0]["time_mask"] >= 0) & (tm[0]["time_mask"] <= 1))
+    assert np.isfinite(gc[0]["GCHeatMap"]).all()
