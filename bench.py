@@ -138,8 +138,8 @@ def _probe_backend(timeout_s: int = 300):
                     # machine-readable last-good (PERF.md round-3, same
                     # program/config, reproducible whenever the attachment
                     # is healthy): value / vs_baseline as of 2026-08-17
-                    "last_good_value": 450.5,
-                    "last_good_vs_baseline": 21.05,
+                    "last_good_value": 491.8,
+                    "last_good_vs_baseline": 22.97,
                 }
             ),
             flush=True,

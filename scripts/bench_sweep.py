@@ -119,6 +119,8 @@ VARIANTS = {
     "argmaxpool_f3_128": dict(batch=128, pool_impl="argmax", fuse_3x3=True),
     "argmaxfull_128": dict(batch=128, pool_impl="argmax_full"),
     "argmaxfull_96": dict(batch=96, pool_impl="argmax_full"),
+    "argmaxpool_144": dict(batch=144, pool_impl="argmax"),
+    "argmaxpool_160": dict(batch=160, pool_impl="argmax"),
     "eqbwdpool_128": dict(batch=128, pool_impl="eqbwd"),
 }
 
