@@ -378,6 +378,7 @@ def train(
         best_loss=best_loss,
         checkpoint_every_steps=cfg.optim.checkpoint_steps,
         start_batch_offset=batch_offset,
+        compute_dtype=cfg.model.compute_dtype,
     )
     if history and jax.process_index() == 0:
         import json
@@ -507,7 +508,9 @@ def infer(cfg: Config, state=None, mesh=None, dataset=None, save_npy=True):
     res = evaluate(
         state,
         build_loader(cfg, dataset, False, mesh),
-        make_eval_step(loss_type),
+        # compute_dtype=bfloat16: the step casts params + clips to bf16 on
+        # device (f32 state untouched) — same knob find_masks honors
+        make_eval_step(loss_type, compute_dtype=cfg.model.compute_dtype),
         max_steps=5 if cfg.test_run else None,
         collect_predictions=True,
         top_k=max(5, k),

@@ -52,24 +52,53 @@ def _kernel_l2_penalty(params, coeff: float) -> jax.Array:
     return coeff * total
 
 
+def _cast_f32(tree, dtype):
+    """Cast every f32 leaf to ``dtype`` (non-f32 leaves — ints, counters —
+    pass through untouched)."""
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32
+        else a,
+        tree,
+    )
+
+
 def make_train_step(
     loss_type: str = "cross_entropy",
     donate: bool = True,
     kernel_l2: float = 0.0,
+    compute_dtype: str = "float32",
 ):
+    """``compute_dtype='bfloat16'`` = mixed-precision training (beyond
+    reference — it has none): the forward/backward runs on bf16 casts of
+    the params and clips, while the MASTER params, optimizer state, BN
+    running statistics, loss, and gradients all stay float32 (the cast is
+    differentiable, so cotangents land back in f32 on the f32 leaves). No
+    loss scaling is needed: bf16 keeps f32's exponent range. The kernel-L2
+    penalty reads the f32 master params."""
+    bf16 = compute_dtype == "bfloat16"
+
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(
         state: TrainState, clips: jax.Array, labels: jax.Array, rng: jax.Array
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        # loaders ship uint8 over PCIe (4x fewer bytes); cast on device
+        # loaders ship uint8 over PCIe (4x fewer bytes); cast on device.
+        # 0..255 is exact in bf16 (8 significand bits cover integers <=256)
         if clips.dtype == jnp.uint8:
-            clips = clips.astype(jnp.float32)
+            clips = clips.astype(jnp.bfloat16 if bf16 else jnp.float32)
+        elif bf16 and clips.dtype == jnp.float32:
+            clips = clips.astype(jnp.bfloat16)
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            variables = {"params": params}
+            variables = {
+                "params": _cast_f32(params, jnp.bfloat16) if bf16 else params
+            }
             has_stats = state.batch_stats is not None
             if has_stats:
+                # running stats stay f32 across steps; the model's update
+                # math promotes as needed and the merged result is re-cast
+                # below in case the model computed it in bf16
                 variables["batch_stats"] = state.batch_stats
             if has_stats:
                 logits, updated = state.apply_fn(
@@ -84,10 +113,18 @@ def make_train_step(
                     variables, clips, train=True, rngs={"dropout": step_rng}
                 )
                 updated = {}
-            loss = _compute_loss(logits, labels, loss_type)
+            loss = _compute_loss(logits.astype(jnp.float32), labels, loss_type)
             if kernel_l2:
                 loss = loss + _kernel_l2_penalty(params, kernel_l2)
-            return loss, (logits, updated.get("batch_stats"))
+            new_stats = updated.get("batch_stats")
+            if bf16 and new_stats is not None:
+                new_stats = jax.tree.map(
+                    lambda a: a.astype(jnp.float32)
+                    if hasattr(a, "dtype") and a.dtype == jnp.bfloat16
+                    else a,
+                    new_stats,
+                )
+            return loss, (logits, new_stats)
 
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -99,14 +136,25 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(loss_type: str = "cross_entropy"):
+def make_eval_step(
+    loss_type: str = "cross_entropy", compute_dtype: str = "float32"
+):
+    bf16 = compute_dtype == "bfloat16"
+
     @jax.jit
     def eval_step(
         state: TrainState, clips: jax.Array, labels: jax.Array
     ) -> Dict[str, jax.Array]:
         if clips.dtype == jnp.uint8:
-            clips = clips.astype(jnp.float32)
-        logits = state.apply_fn(state.variables(), clips, train=False)
+            clips = clips.astype(jnp.bfloat16 if bf16 else jnp.float32)
+        elif bf16 and clips.dtype == jnp.float32:
+            clips = clips.astype(jnp.bfloat16)
+        variables = state.variables()
+        if bf16:
+            variables = _cast_f32(variables, jnp.bfloat16)
+        logits = state.apply_fn(variables, clips, train=False).astype(
+            jnp.float32
+        )
         loss = _compute_loss(logits, labels, loss_type)
         top1, top5 = topk_accuracy(logits, labels, (1, 5))
         return {"loss": loss, "top1": top1, "top5": top5, "logits": logits}
@@ -245,6 +293,7 @@ def fit(
     best_loss: float = float("inf"),
     checkpoint_every_steps: int = 0,
     start_batch_offset: int = 0,
+    compute_dtype: str = "float32",
 ) -> Tuple[TrainState, list]:
     """Epoch orchestration mirroring train_i3d_smth.main (33-189): train,
     validate, plateau-LR step, plot, checkpoint best-on-val-loss; stops
@@ -261,8 +310,10 @@ def fit(
     deterministic because ClipLoader shuffles by (seed, epoch). Metrics
     for a resumed epoch cover only its remainder."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    train_step = make_train_step(loss_type, kernel_l2=kernel_l2)
-    eval_step = make_eval_step(loss_type)
+    train_step = make_train_step(
+        loss_type, kernel_l2=kernel_l2, compute_dtype=compute_dtype
+    )
+    eval_step = make_eval_step(loss_type, compute_dtype=compute_dtype)
     try:
         return _fit_epochs(
             state,

@@ -123,6 +123,9 @@ def main():
     model = i3d_smth(
         num_classes=174, dropout_rate=0.0, softmax=True,
         stem_s2d=True, fold_bn=True, fuse_1x1=True,
+        # what api.find_masks' bf16 auto-upgrade would engage (the
+        # monkeypatched build_model below bypasses the upgrade)
+        pool_impl="argmax",
     )
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 16, 224, 224, 3))

@@ -559,3 +559,80 @@ def test_pipeline_apply_is_differentiable():
     gx_p, gw_p = jax.jit(jax.grad(pp_loss, argnums=(0, 1)))(x, ws[0])
     np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_s), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_s), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_train_step_bf16_mixed_precision_learns_and_keeps_f32_master():
+    """Mixed-precision training (compute_dtype='bfloat16', beyond
+    reference): the step computes fwd/bwd on bf16 casts but the MASTER
+    params, optimizer state, and BN running stats must remain float32
+    throughout; the loss still decreases on the separable synthetic set;
+    a bf16-eval of the trained state agrees with f32 eval on accuracy."""
+    model = ConvLSTMClassifier(
+        num_classes=3,
+        nb_lstm_units=4,
+        lstm_layers=1,
+        conv_kernel_size=3,
+        effective_steps=(3,),
+        batch_norm=True,
+    )
+    clips, labels = _synthetic_clips(32)
+    tx = build_optimizer("adam", 0.01)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.asarray(clips[:2]), tx
+    )
+    train_step = make_train_step(compute_dtype="bfloat16")
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _epoch in range(4):
+        for clips_b, labels_b in _batches(clips, labels, 8):
+            state, metrics = train_step(state, clips_b, labels_b, rng)
+            losses.append(float(metrics["loss"]))
+            assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]
+
+    def _dtypes(tree):
+        return {
+            str(leaf.dtype)
+            for leaf in jax.tree.leaves(tree)
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
+        }
+
+    assert _dtypes(state.params) == {"float32"}
+    assert _dtypes(state.batch_stats) == {"float32"}
+    assert _dtypes(state.opt_state) == {"float32"}
+
+    res16 = evaluate(
+        state,
+        _batches(clips, labels, 8),
+        make_eval_step(compute_dtype="bfloat16"),
+    )
+    res32 = evaluate(state, _batches(clips, labels, 8), make_eval_step())
+    assert res16["top1"] > 50.0
+    assert abs(res16["top1"] - res32["top1"]) <= 25.0  # same model, coarser math
+
+
+def test_train_step_bf16_uint8_clips_cast_once():
+    """uint8 loader batches cast straight to bf16 on device under mixed
+    precision (0..255 is bf16-exact), and the step runs end to end."""
+    model = CNN3D(num_classes=2, dropout_rate=0.0)
+    rng = np.random.RandomState(0)
+    clips = rng.randint(0, 255, (4, 4, 32, 32, 3)).astype(np.uint8)
+    labels = np.array([0, 1, 0, 1], np.int32)
+    tx = build_optimizer("adam", 0.001)
+    state = create_train_state(
+        model,
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 4, 32, 32, 3), jnp.float32),
+        tx,
+    )
+    step = make_train_step(compute_dtype="bfloat16")
+    state, metrics = step(
+        state, jnp.asarray(clips), jnp.asarray(labels), jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert all(
+        leaf.dtype == jnp.float32
+        for leaf in jax.tree.leaves(state.params)
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
+    )
