@@ -377,6 +377,9 @@ _OVERRIDES = [
     ("--kernel_l2", "-kl2", "model.kernel_l2", float),
     ("--async_checkpoint", "-actk", "async_checkpoint", int),
     ("--checkpoint_steps", "-ckst", "optim.checkpoint_steps", int),
+    # 'bfloat16': mixed-precision training (f32 master params/opt/BN
+    # stats, bf16 compute) and bf16 inference / mask search
+    ("--compute_dtype", "-cdt", "model.compute_dtype", str),
 ]
 
 
