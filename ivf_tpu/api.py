@@ -109,6 +109,24 @@ def default_effective_steps(clip_size: int) -> tuple:
     return tuple(q * k - 1 for k in range(1, 5))
 
 
+def _bf16_argmax_upgrade(cfg: Config) -> Config:
+    """argmax-index pool VJP on the bf16 compute path: bit-equal forward,
+    gradient-equal off exact window ties (a valid max subgradient either
+    way), measured +9% mask-steps/s and +4-6% train clips/s (PERF.md round
+    3). Engaged only when the user left ``pool_impl`` at its default;
+    copy-on-write so the caller's cfg is untouched. f32 runs never change."""
+    if (
+        cfg.model.compute_dtype == "bfloat16"
+        and cfg.model.pool_impl == "reduce_window"
+    ):
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg, model=_dc.replace(cfg.model, pool_impl="argmax")
+        )
+    return cfg
+
+
 def build_model(cfg: Config, softmax_override: Optional[bool] = None):
     m = cfg.model
     softmax = m.soft_max if softmax_override is None else softmax_override
@@ -270,6 +288,10 @@ def train(
     from ivf_tpu.viz import PlotLearning
 
     save_dir = _save_dir(cfg)
+    # bf16 training gets the same argmax-pool upgrade as find_masks: the
+    # fwd is bit-equal, the pool VJP reads one uint8 index plane instead of
+    # the value stencil — +4-6% train clips/s measured (PERF.md round 3)
+    cfg = _bf16_argmax_upgrade(cfg)
     model = build_model(cfg)
     loss_type = "nll_on_probs" if cfg.model.soft_max else "cross_entropy"
 
@@ -559,20 +581,7 @@ def find_masks(
     from ivf_tpu.interpret.mask_opt import find_mask, init_mask_central
     from ivf_tpu.interpret.perturb import perturb_sequence
 
-    if (
-        cfg.model.compute_dtype == "bfloat16"
-        and cfg.model.pool_impl == "reduce_window"
-    ):
-        # argmax-index pool VJP: bit-equal forward, gradient-equal off
-        # exact window ties, +9% mask-steps/s measured (PERF.md). Engaged
-        # only for this driver's bf16 hot path and only when the user left
-        # pool_impl at its default; copy-on-write so the caller's cfg is
-        # untouched.
-        import dataclasses as _dc
-
-        cfg = _dc.replace(
-            cfg, model=_dc.replace(cfg.model, pool_impl="argmax")
-        )
+    cfg = _bf16_argmax_upgrade(cfg)
     model = build_model(cfg, softmax_override=True)
     mk = cfg.mask
     dataset = dataset or build_dataset(cfg, split, get_item_id=True)

@@ -1052,6 +1052,55 @@ def test_find_masks_bf16_auto_upgrades_pool_impl(tmp_path):
         api_mod.build_model = orig
 
 
+def test_train_bf16_auto_upgrades_pool_impl(tmp_path):
+    """train() engages the same bf16 argmax-pool upgrade as find_masks
+    (the pool VJP is where the train step's pool bytes go too — +4-6%
+    train clips/s, PERF.md round 3): copy-on-write, explicit pool_impl
+    respected, f32 untouched."""
+    import ivf_tpu.api as api_mod
+
+    cfg = Config.from_dict(
+        {
+            "model_name": "bf16_pool_train",
+            "output_dir": str(tmp_path / "out"),
+            "conv_model": "i3d_smth",
+            "num_classes": 2,
+            "batch_size": 2,
+            "clip_size": 8,
+            "input_spatial_size": 32,
+        }
+    )
+    cfg.model.compute_dtype = "bfloat16"
+
+    class _Stop(Exception):
+        pass
+
+    seen = {}
+    orig = api_mod.build_model
+
+    def spy(c, softmax_override=None):
+        seen["pool_impl"] = c.model.pool_impl
+        raise _Stop
+
+    api_mod.build_model = spy
+    try:
+        with pytest.raises(_Stop):
+            api_mod.train(cfg)
+        assert seen["pool_impl"] == "argmax"
+        assert cfg.model.pool_impl == "reduce_window"  # caller cfg untouched
+        cfg.model.pool_impl = "eqbwd"  # explicit user choice wins
+        with pytest.raises(_Stop):
+            api_mod.train(cfg)
+        assert seen["pool_impl"] == "eqbwd"
+        cfg.model.pool_impl = "reduce_window"
+        cfg.model.compute_dtype = "float32"  # f32 runs never upgrade
+        with pytest.raises(_Stop):
+            api_mod.train(cfg)
+        assert seen["pool_impl"] == "reduce_window"
+    finally:
+        api_mod.build_model = orig
+
+
 @pytest.mark.slow
 def test_i3d_find_masks_bf16_argmax_pool(tmp_path):
     """The bf16 production path of the mask search with pool_impl='argmax'
