@@ -612,7 +612,13 @@ def find_masks(
         0
     ].astype(jnp.float32)
 
-    from ivf_tpu.utils.compile import hot_jit
+    from ivf_tpu.utils.compile import hot_jit as _hot_jit
+
+    # the scoped-VMEM compiler option helps the reduce_window program but
+    # costs 1.2% on the argmax-pool one (utils/compile.py) — gate it on
+    # the pool impl this run actually compiled
+    _vmem = cfg.model.pool_impl != "argmax"
+    hot_jit = partial(_hot_jit, vmem_opt=_vmem)
 
     is_i3d = isinstance(model, I3D)
     norm_frame = mk.normalization_mode == "frame"

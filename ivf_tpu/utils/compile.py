@@ -34,16 +34,30 @@ def on_axon_tunnel() -> bool:
     return "axon" in str(platforms).lower()
 
 
-def hot_jit(fn=None, **jit_kwargs):
+def hot_jit(fn=None, vmem_opt=True, **jit_kwargs):
     """``jax.jit`` with the measured-faster TPU compiler options (no-op
     options-wise off-TPU). Usable as ``hot_jit(fn)`` or a decorator.
+
+    ``vmem_opt=False`` skips the scoped-VMEM option: it measured +1.8% on
+    the reduce_window mask-search program but **-1.2%** on the argmax-pool
+    program (490 -> 484 steps/s head-to-head, PERF.md round 3), so callers
+    that engage ``pool_impl='argmax'`` pass False.
 
     ``IVF_HOT_JIT=0`` disables the extra options (plain jit everywhere) —
     the escape hatch for environments where options-bearing programs
     bypass compile caches or misbehave."""
-    if os.environ.get("IVF_HOT_JIT", "1") != "0":
-        if jax.default_backend() in ("tpu", "axon"):
-            jit_kwargs.setdefault("compiler_options", TPU_HOT_COMPILER_OPTS)
+    opts = hot_compiler_options(vmem_opt)
+    if opts:
+        jit_kwargs.setdefault("compiler_options", opts)
     if fn is None:
         return lambda f: jax.jit(f, **jit_kwargs)
     return jax.jit(fn, **jit_kwargs)
+
+
+def hot_compiler_options(vmem_opt: bool = True) -> dict:
+    """The extra compiler options ``hot_jit`` would attach right now
+    (empty off-TPU, under ``IVF_HOT_JIT=0``, or with ``vmem_opt=False``)."""
+    if vmem_opt and os.environ.get("IVF_HOT_JIT", "1") != "0":
+        if jax.default_backend() in ("tpu", "axon"):
+            return dict(TPU_HOT_COMPILER_OPTS)
+    return {}

@@ -293,3 +293,26 @@ def test_on_axon_tunnel_detection(monkeypatch):
     assert _with_platforms(None) is True
     monkeypatch.setenv("JAX_PLATFORMS", "tpu")
     assert _with_platforms(None) is False
+
+
+def test_hot_compiler_options_gating(monkeypatch):
+    """hot_jit's scoped-VMEM option measured +1.8% on the reduce_window
+    mask-search program but -1.2% on the argmax one (PERF.md round 3), so
+    it must be (a) TPU-only, (b) droppable via vmem_opt=False — the path
+    find_masks takes when the argmax upgrade engages — and (c) killable
+    via IVF_HOT_JIT=0."""
+    import types
+
+    import ivf_tpu.utils.compile as compile_mod
+    from ivf_tpu.utils.compile import TPU_HOT_COMPILER_OPTS, hot_compiler_options
+
+    monkeypatch.delenv("IVF_HOT_JIT", raising=False)
+    # tests run on the cpu backend -> no options
+    assert hot_compiler_options() == {}
+
+    stub = types.SimpleNamespace(default_backend=lambda: "tpu")
+    monkeypatch.setattr(compile_mod, "jax", stub)
+    assert hot_compiler_options() == TPU_HOT_COMPILER_OPTS
+    assert hot_compiler_options(vmem_opt=False) == {}
+    monkeypatch.setenv("IVF_HOT_JIT", "0")
+    assert hot_compiler_options() == {}
