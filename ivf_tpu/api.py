@@ -375,7 +375,14 @@ def train(
         scheduler.lr = get_learning_rate(state.opt_state)
         if hasattr(scheduler, "best") and cfg.optim.lr_schedule != "patience_halving":
             scheduler.best = best_loss
-    plotter = PlotLearning(os.path.join(save_dir, "plots"), cfg.model.num_classes)
+    # learning-curve PNGs are primary-only like history.json/npy dumps:
+    # every process runs the same fit() loop, and concurrent writes of the
+    # same plot files from N hosts race (fit treats plotter=None as no-op)
+    plotter = (
+        PlotLearning(os.path.join(save_dir, "plots"), cfg.model.num_classes)
+        if jax.process_index() == 0
+        else None
+    )
     # One ClipLoader reused across epochs: its internal _epoch counter
     # advances per __iter__, reshuffling with seed+epoch like torch's
     # DataLoader does per epoch (a fresh loader each epoch would replay

@@ -78,13 +78,22 @@ def set_learning_rate(opt_state, lr: float):
     """Return a copy of ``opt_state`` with the injected learning rate
     replaced — copy-on-write, so aliases of the old state (best-state
     snapshots, history entries) keep their original LR."""
+    import jax
     import jax.numpy as jnp
 
     old = opt_state.hyperparams["learning_rate"]
+    new = jnp.asarray(lr, old.dtype)
+    if isinstance(old, jax.Array) and hasattr(old, "sharding"):
+        # keep the old value's placement: the train state is replicated
+        # over the global mesh, and a bare jnp scalar is host-local
+        # (SingleDeviceSharding) — orbax refuses to serialize host-local
+        # arrays under jax.process_count()>1 (caught by the real 2-process
+        # test, tests/test_multihost_real.py)
+        new = jax.device_put(new, old.sharding)
     return opt_state._replace(
         hyperparams={
             **opt_state.hyperparams,
-            "learning_rate": jnp.asarray(lr, old.dtype),
+            "learning_rate": new,
         }
     )
 
