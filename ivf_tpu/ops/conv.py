@@ -180,13 +180,18 @@ def max_pool3d_same(
     Kept opt-in: the combined program trips the axon remote compiler
     (HTTP 500) at the production batch, the same failure mode as remat
     at batch 192+ (PERF.md).
+
+    ``impl='argmax_shift'``: argmax VJP on the stride-1 branch pools +
+    the shift chain on the strided trunk pools — the mixed combo that
+    avoids select_and_scatter everywhere while staying compilable where
+    'argmax_full' is not. Same tie-gradient deviation class as its parts.
     """
     if impl == "eqbwd" and tuple(strides) == (1, 1, 1):
         # eq-stencil VJP applies to the stride-1 (branch) pools — where the
         # select_and_scatter cost lives; strided trunk pools fall through
         # to the native path
         return _max_pool3d_same_eqbwd(x, tuple(window), tuple(strides))
-    if impl in ("argmax", "argmax_full") and x.dtype in (
+    if impl in ("argmax", "argmax_full", "argmax_shift") and x.dtype in (
         jnp.bfloat16,
         jnp.float16,
     ):
@@ -202,7 +207,10 @@ def max_pool3d_same(
     pad = explicit_same_padding(x.shape[1:4], window, strides)
     pad_cfg = ((0, 0),) + tuple(pad) + ((0, 0),)
     x = jnp.pad(x, pad_cfg, mode="constant", constant_values=0.0)
-    if impl == "shift":
+    if impl == "shift" or impl == "argmax_shift":
+        # 'argmax_shift': argmax VJP on the stride-1 branch pools (handled
+        # above) + the shift chain (elementwise-select VJP instead of
+        # select_and_scatter) on the strided trunk pools that fall through
         for d, (w, s) in enumerate(zip(window, strides)):
             axis = d + 1
             n_out = (x.shape[axis] - w) // s + 1

@@ -128,6 +128,10 @@ VARIANTS = {
     "argmaxfull_128": dict(batch=128, pool_impl="argmax_full"),
     "argmaxfull_96": dict(batch=96, pool_impl="argmax_full"),
     "argmaxpool_144": dict(batch=144, pool_impl="argmax"),
+    # argmax branch pools + shift-chain trunk pools: kills the remaining
+    # select_and_scatter on the strided pools without the argmax_full
+    # scatter program that 500s the remote compiler
+    "argmaxshift_128": dict(batch=128, pool_impl="argmax_shift"),
     "argmaxpool_160": dict(batch=160, pool_impl="argmax"),
     # the production compile path: argmax pools + hot_jit's scoped-VMEM
     # fusion budget (vmem alone measured +1.8% pre-argmax)

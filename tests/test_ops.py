@@ -657,3 +657,48 @@ def test_maxpool_argmax_strided_matches_native(shape, win, st):
         np.asarray(jax.grad(f_ref)(x), np.float32),
         np.asarray(jax.grad(f_am)(x), np.float32),
     )
+
+
+@pytest.mark.parametrize(
+    "shape,win,st",
+    [
+        ((1, 5, 6, 4, 2), (3, 3, 3), (1, 1, 1)),  # branch pool -> argmax
+        ((1, 4, 8, 7, 1), (1, 3, 3), (1, 2, 2)),  # trunk pool -> shift
+        ((1, 5, 6, 4, 2), (3, 3, 3), (2, 2, 2)),  # trunk pool -> shift
+    ],
+)
+def test_maxpool_argmax_shift_matches_native(shape, win, st):
+    """impl='argmax_shift' (argmax VJP on stride-1 branch pools, shift
+    chain on strided trunk pools — the combo that removes
+    select_and_scatter everywhere while compiling where 'argmax_full'
+    cannot): bit-equal forward, gradient-equal on unique window maxima."""
+    rng = np.random.RandomState(11)
+    # a permutation of < 256 integers is bf16-exact and window-unique, so
+    # all impls grad-agree (no max ties anywhere, incl. vs the 0 padding
+    # because 0 is a window max only where it is the sole real element)
+    flat = rng.permutation(np.prod(shape)).astype(np.float32) + 1.0
+    x = jnp.asarray(flat.reshape(shape), jnp.bfloat16)
+
+    a = max_pool3d_same(x, win, st)
+    b = max_pool3d_same(x, win, st, impl="argmax_shift")
+    np.testing.assert_array_equal(
+        np.asarray(a, np.float32), np.asarray(b, np.float32)
+    )
+
+    def f(v, impl):
+        y = max_pool3d_same(v, win, st, impl=impl).astype(jnp.float32)
+        return jnp.sum(jnp.sin(y * 1e-4))
+
+    g1 = jax.grad(lambda v: f(v, "reduce_window"))(x)
+    g2 = jax.grad(lambda v: f(v, "argmax_shift"))(x)
+    np.testing.assert_array_equal(
+        np.asarray(g1, np.float32), np.asarray(g2, np.float32)
+    )
+
+    # f32 input: the argmax leg needs a 16-bit dtype, so stride-1 falls
+    # through to the shift chain -- forward must still be bit-equal
+    xf = jnp.asarray(flat.reshape(shape))
+    np.testing.assert_array_equal(
+        np.asarray(max_pool3d_same(xf, win, st)),
+        np.asarray(max_pool3d_same(xf, win, st, impl="argmax_shift")),
+    )
