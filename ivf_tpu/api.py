@@ -585,7 +585,7 @@ def find_masks(
     counters.
     """
     from ivf_tpu.interpret.gradcam import i3d_grad_cam_fns
-    from ivf_tpu.interpret.mask_opt import find_mask, init_mask_central
+    from ivf_tpu.interpret.mask_opt import init_mask_central
     from ivf_tpu.interpret.perturb import perturb_sequence
 
     cfg = _bf16_argmax_upgrade(cfg)
@@ -622,9 +622,10 @@ def find_masks(
     from ivf_tpu.utils.compile import hot_jit as _hot_jit
 
     # the scoped-VMEM compiler option helps the reduce_window program but
-    # costs 1.2% on the argmax-pool one (utils/compile.py) — gate it on
-    # the pool impl this run actually compiled
-    _vmem = cfg.model.pool_impl != "argmax"
+    # costs 1.2% whenever the argmax pool VJP is in the program
+    # (utils/compile.py) — gate it on the pool impl this run actually
+    # compiled; every argmax-family impl puts that VJP on the branch pools
+    _vmem = cfg.model.pool_impl not in ("argmax", "argmax_shift", "argmax_full")
     hot_jit = partial(_hot_jit, vmem_opt=_vmem)
 
     is_i3d = isinstance(model, I3D)
@@ -716,17 +717,22 @@ def find_masks(
 
     chunk = mk.chunk_steps or (100 if on_axon_tunnel() else mk.opt_iter)
     if chunk >= mk.opt_iter:
+        from ivf_tpu.interpret.mask_opt import find_mask_from_carry
 
-        def _search_full(clips, targets, inits):
-            # monolithic: the whole search (carry + scan + finalize) plus
-            # the Grad-CAM in ONE program — find_mask consumes the inits
-            # (its internal carry is identical to the prologue's, which is
-            # simply unused on this path)
+        def _search_full(clips, targets, carry):
+            # monolithic: the whole search (scan + finalize) plus the
+            # Grad-CAM in ONE program — consumes the PROLOGUE's carry, the
+            # same construction the chunked path threads through segments,
+            # so a make_search_carry change can never silently diverge
+            # between the two paths
             res = jax.vmap(
                 partial(
-                    find_mask, score_fn, n_steps=mk.opt_iter, **search_kwargs
+                    find_mask_from_carry,
+                    score_fn,
+                    n_steps=mk.opt_iter,
+                    **search_kwargs,
                 )
-            )(clips, targets, inits)
+            )(clips, targets, carry)
             cams = cam_core(clips, targets) if do_gradcam else None
             return res, cams
 
@@ -734,7 +740,7 @@ def find_masks(
 
         def run_search(clips, targets, inits, carry):
             return _traced(
-                "search+cam", partial(search_and_cam, clips, targets, inits)
+                "search+cam", partial(search_and_cam, clips, targets, carry)
             )
 
     else:
@@ -935,13 +941,14 @@ def find_masks(
                     }
                 )
 
-        if save_viz and run_temp_mask and (do_gradcam or is_kth):
+        if save_viz and run_temp_mask:
             # ONE unified per-clip viz loop (the reference's two back-to-back
             # loops shared the same out_folder); viz perturbations computed
             # batched+jitted per flush instead of per-clip eager calls.
-            # Gated on (do_gradcam or is_kth): neither branch writes
-            # otherwise, and unconditional makedirs would litter empty
-            # per-clip dirs across a full val run
+            # The ClassScore txt files are written whenever the mask search
+            # ran — the reference emits them inside the mask block
+            # regardless of doGradCam (FindMasksComparison_I3D_smth.py:
+            # 222-239); images additionally need do_gradcam / is_kth.
             from ivf_tpu.viz import create_image_arrays, visualize_results
 
             masks_dev = res.mask  # (B, T) padded — feeds batched perturbs
@@ -960,7 +967,11 @@ def find_masks(
                         clips_dev, masks_dev
                     )
                 )[:n]
-            clips_f32 = np.asarray(clips_dev)[:n]
+            # clip pixels feed only the image branches — skip the fetch on
+            # a txt-only flush (do_gradcam=False, non-KTH)
+            clips_f32 = (
+                np.asarray(clips_dev)[:n] if (do_gradcam or is_kth) else None
+            )
 
             # Pure-host rendering of this (already-fetched) batch; runs in
             # the background writer so the next batch's search launches
@@ -977,31 +988,41 @@ def find_masks(
                 viz_perts=viz_perts,
                 kth_pert=kth_pert,
                 clips_f32=clips_f32,
+                outputs_np=outputs_np,
             ):
                 for j in range(n):
                     tag = ids_k[j]
+                    # per-clip dir carries the guess/true score suffixes the
+                    # reference embeds (FindMasksComparison_I3D_smth.py:
+                    # 222-225); the reference int-casts the guess score
+                    # (always 0 post-softmax — a defect), we format the real
+                    # float. Its `args.subDir` path element is this repo's
+                    # save_dir = output_dir/model_name (config.py --subDir).
+                    gs = float(outputs_np[j].max())
+                    cs = float(outputs_np[j][labels_np[j]])
                     out_folder = os.path.join(
                         save_dir,
                         "cam_saved_images",
                         str(int(labels_np[j])),
-                        f"{tag}g_{int(pred[j])}",
+                        f"{tag}g_{int(pred[j])}_gs{gs:5.4f}_cs{cs:5.4f}",
                         "combined",
                     )
                     os.makedirs(out_folder, exist_ok=True)
+                    # per-clip score text files — written whenever the mask
+                    # search ran (FindMasksComparison_I3D_smth.py:229-239
+                    # writes them outside the doGradCam block)
+                    for nm, val in (
+                        ("Freeze", float(freeze_np[j])),
+                        ("Reverse", float(reverse_np[j])),
+                    ):
+                        with open(
+                            os.path.join(
+                                out_folder, f"ClassScore{nm}case{tag}.txt"
+                            ),
+                            "w",
+                        ) as f:
+                            f.write(str(val))
                     if do_gradcam:
-                        # per-clip score text files
-                        # (FindMasksComparison_I3D_smth.py:234-241)
-                        for nm, val in (
-                            ("Freeze", float(freeze_np[j])),
-                            ("Reverse", float(reverse_np[j])),
-                        ):
-                            with open(
-                                os.path.join(
-                                    out_folder, f"ClassScore{nm}case{tag}.txt"
-                                ),
-                                "w",
-                            ) as f:
-                                f.write(str(val))
                         for ptype in ("freeze", "reverse"):
                             create_image_arrays(
                                 clips_f32[j],

@@ -85,7 +85,9 @@ class ModelConfig:
     # 'shift' (separable slice-max chain) | 'eqbwd' (equality-stencil VJP
     # for the stride-1 branch pools) | 'argmax' (uint8 index-plane VJP,
     # stride-1 branch pools, bf16 — the measured +9% winner) |
-    # 'argmax_full' (argmax incl. strided trunk pools) — see PERF.md
+    # 'argmax_full' (argmax incl. strided trunk pools) |
+    # 'argmax_shift' (argmax branch pools + shift-chain trunk pools)
+    # — see PERF.md for per-impl chip measurements
     fuse_pool_conv: bool = False  # I3D Inception branch-3 pool+1x1conv
     # as one Pallas kernel per direction (inference/mask search only)
     # Keras-ConvLSTM2D cell fidelity knobs for the TF model family

@@ -10,6 +10,7 @@ from ivf_tpu.interpret.mask_opt import (
     init_mask_central,
     init_mask_random,
     find_mask,
+    find_mask_from_carry,
     make_search_carry,
     search_segment,
     finalize_search,
@@ -33,6 +34,7 @@ __all__ = [
     "init_mask_central",
     "init_mask_random",
     "find_mask",
+    "find_mask_from_carry",
     "make_search_carry",
     "search_segment",
     "finalize_search",

@@ -266,6 +266,49 @@ def finalize_search(
         "closed_form",
     ),
 )
+def find_mask_from_carry(
+    score_fn: ScoreFn,
+    seq: jax.Array,
+    target: jax.Array,
+    carry,
+    n_steps: int = 300,
+    lam1: float = 0.01,
+    lam2: float = 0.02,
+    lr: float = 0.2,
+    perturbation_type: str = "freeze",
+    early_stop: bool = False,
+    eta: float = 1e-5,
+    closed_form: bool = True,
+) -> MaskSearchResult:
+    """Full search + finalize starting from an EXISTING carry (a
+    ``make_search_carry`` result, possibly already advanced by segments).
+    ``api.find_masks``'s monolithic path feeds its prologue's carry here, so
+    the monolithic and the chunked path consume the SAME carry construction
+    by wiring, not by coincidence."""
+    target = jnp.asarray(target)
+    _, loss_fn, step = _search_pieces(
+        score_fn, seq, target, lam1, lam2, lr, perturbation_type,
+        early_stop, eta, closed_form,
+    )
+    carry, _ = jax.lax.scan(step, carry, None, length=n_steps)
+    if n_steps == 0:  # degenerate: report metrics at the (unstepped) logits
+        logits, opt_state, _, active, n_run, _ = carry
+        final_loss, aux = loss_fn(carry[0])
+        carry = (logits, opt_state, final_loss, active, n_run, aux)
+    return finalize_search(score_fn, seq, target, carry)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "score_fn",
+        "n_steps",
+        "perturbation_type",
+        "early_stop",
+        "lr",
+        "closed_form",
+    ),
+)
 def find_mask(
     score_fn: ScoreFn,
     seq: jax.Array,
@@ -285,18 +328,21 @@ def find_mask(
     score_fn must return post-softmax class probabilities; only the mask
     logits receive gradients (model params are closed over / stopped).
     """
-    target = jnp.asarray(target)
-    _, loss_fn, step = _search_pieces(
-        score_fn, seq, target, lam1, lam2, lr, perturbation_type,
-        early_stop, eta, closed_form,
-    )
     init = make_search_carry(mask_init_logits, lr)
-    carry, _ = jax.lax.scan(step, init, None, length=n_steps)
-    if n_steps == 0:  # degenerate: report metrics at the (unstepped) init
-        logits, opt_state, _, active, n_run, _ = carry
-        final_loss, aux = loss_fn(carry[0])
-        carry = (logits, opt_state, final_loss, active, n_run, aux)
-    return finalize_search(score_fn, seq, target, carry)
+    return find_mask_from_carry(
+        score_fn,
+        seq,
+        target,
+        init,
+        n_steps=n_steps,
+        lam1=lam1,
+        lam2=lam2,
+        lr=lr,
+        perturbation_type=perturbation_type,
+        early_stop=early_stop,
+        eta=eta,
+        closed_form=closed_form,
+    )
 
 
 def find_mask_batched(

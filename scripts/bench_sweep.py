@@ -127,6 +127,8 @@ VARIANTS = {
     "argmaxpool_f3_128": dict(batch=128, pool_impl="argmax", fuse_3x3=True),
     "argmaxfull_128": dict(batch=128, pool_impl="argmax_full"),
     "argmaxfull_96": dict(batch=96, pool_impl="argmax_full"),
+    "argmaxfull_64": dict(batch=64, pool_impl="argmax_full"),
+    "argmaxfull_32": dict(batch=32, pool_impl="argmax_full"),
     "argmaxpool_144": dict(batch=144, pool_impl="argmax"),
     # argmax branch pools + shift-chain trunk pools: kills the remaining
     # select_and_scatter on the strided pools without the argmax_full

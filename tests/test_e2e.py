@@ -831,6 +831,55 @@ def test_find_masks_early_stop_skips_converged_segments(tmp_path):
     assert stats2["search_launches"] == 1
 
 
+def test_find_masks_classscore_txt_without_gradcam(tmp_path):
+    """ClassScore{Freeze,Reverse}case txt files are written whenever the
+    mask search runs — the reference emits them inside the mask block
+    regardless of doGradCam (FindMasksComparison_I3D_smth.py:229-239) — and
+    the per-clip dir name carries the reference's _gs/_cs score suffixes
+    (ibid:222-225; the reference int-casts the guess score — a defect — we
+    format the real float)."""
+    import re
+
+    ds = _SyntheticClipDataset(4, t=8, hw=32, num_classes=2, lazy=False)
+    cfg, variables = _tiny_clstm_cfg(tmp_path, "txt_only", opt_iter=2)
+    tm, _ = find_masks(
+        cfg, variables, dataset=ds, save_viz=True, do_gradcam=False
+    )
+    assert len(tm) == 4
+    root = os.path.join(cfg.output_dir, cfg.model_name, "cam_saved_images")
+    txts = {}
+    for dirpath, _dirs, files in os.walk(root):
+        # no images on a txt-only run (do_gradcam=False, non-KTH)
+        assert not any(
+            f.endswith((".jpg", ".png", ".gif")) for f in files
+        ), files
+        for f in files:
+            m = re.match(r"ClassScore(Freeze|Reverse)case(.+)\.txt$", f)
+            if m:
+                with open(os.path.join(dirpath, f)) as fh:
+                    txts[(m.group(1), m.group(2))] = (
+                        float(fh.read()),
+                        dirpath,
+                    )
+    assert len(txts) == 8  # Freeze + Reverse per clip
+    for r in tm:
+        vid = str(r["video_id"])
+        fr, dirpath = txts[("Freeze", vid)]
+        rv, _ = txts[("Reverse", vid)]
+        assert fr == pytest.approx(r["freeze_score"], rel=1e-6)
+        assert rv == pytest.approx(r["reverse_score"], rel=1e-6)
+        # .../{label}/{id}g_{pred}_gs{:5.4f}_cs{:5.4f}/combined
+        assert os.path.basename(dirpath) == "combined"
+        clip_dir = os.path.basename(os.path.dirname(dirpath))
+        assert re.fullmatch(
+            re.escape(vid) + r"g_\d+_gs\d+\.\d{4}_cs\d+\.\d{4}", clip_dir
+        ), clip_dir
+        assert (
+            f"_gs{r['original_score_guess']:5.4f}"
+            f"_cs{r['original_score_true']:5.4f}" in clip_dir
+        )
+
+
 def test_find_masks_async_viz_matches_inline(tmp_path):
     """The background viz writer (MaskConfig.async_viz, default on) must
     produce a byte-identical artifact tree to the inline path — same PNGs,
