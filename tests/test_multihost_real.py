@@ -95,3 +95,79 @@ def test_two_real_processes_match_single_process(tmp_path):
     save = out_dir / "mh_real"
     assert (save / "history.json").exists()
     assert (save / "plots").exists()
+
+
+MASKS_WORKER = os.path.join(REPO, "tests", "_mh_masks_worker.py")
+
+
+def _load_tm_pickle(out_dir):
+    import pickle
+
+    p = os.path.join(
+        str(out_dir), "mh_masks", "results", "allTimeMaskResults_mh_masks_None_.p"
+    )
+    with open(p, "rb") as f:
+        return pickle.load(f)
+
+
+@pytest.mark.slow
+def test_two_process_find_masks_shards_disjoint_and_complete(tmp_path):
+    """The documented multi-host mask-search layout
+    (``parallel/multihost.py:26-31``) as REAL processes: two independent
+    ``find_masks`` drivers over ``ShardedDataset(even=False)`` — no
+    coordinator, nothing synchronizes. The union of the two per-process
+    pickle result shards must equal the single-process run's result set,
+    be disjoint, and match per clip (VERDICT r3 #5)."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    out_dir = tmp_path / "mh_masks"
+    out_dir.mkdir()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, MASKS_WORKER, str(i), "2", str(out_dir)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+            cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    for i, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"masks worker {i} failed:\n{out[-4000:]}"
+        assert f"WORKER_OK {i}" in out
+
+    shards = [
+        {r["video_id"]: r for r in _load_tm_pickle(out_dir / f"proc{i}")}
+        for i in range(2)
+    ]
+    assert not (set(shards[0]) & set(shards[1])), "shards overlap"
+
+    # ---- single-process reference over the full dataset ----
+    from tests._mh_masks_worker import build_variables, make_cfg, make_dataset
+
+    from ivf_tpu.api import find_masks
+
+    cfg = make_cfg(tmp_path / "single")
+    tm, _ = find_masks(
+        cfg, build_variables(cfg), dataset=make_dataset(), save_viz=False
+    )
+    single = {r["video_id"]: r for r in tm}
+    assert set(shards[0]) | set(shards[1]) == set(single), "union != full set"
+    for shard in shards:
+        for vid, r in shard.items():
+            np.testing.assert_allclose(
+                r["time_mask"], single[vid]["time_mask"], rtol=1e-5, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                r["freeze_score"],
+                single[vid]["freeze_score"],
+                rtol=1e-5,
+                atol=1e-6,
+            )
