@@ -199,15 +199,40 @@ def main():
         "sequential_steps_per_sec_median": round(n_steps / dt_s_med, 2),
         "sequential_time_samples_s": [round(x, 3) for x in dts_s],
     }
-    if time.time() - t_start < 520:
+    # Secondary metrics must ALWAYS land in the round artifact (VERDICT r3
+    # #2): measure live when the remaining budget allows, else fall back to
+    # the last-good persisted measurements (bench_secondaries.json, written
+    # after every successful live run) with an explicit provenance marker.
+    import os
+
+    cache_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_secondaries.json"
+    )
+    sec = None
+    if time.time() - t_start < 700:
         try:  # secondary metrics must never fail the bench
-            details.update(inference_throughput())
+            sec = inference_throughput()
+            sec["secondaries_measured_at"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            )
+            with open(cache_path, "w") as f:
+                json.dump(sec, f, indent=1)
         except Exception as e:  # noqa: BLE001
             details["inference_detail_error"] = f"{type(e).__name__}: {e}"[:200]
     else:
-        # remote-compile latency varies ~2x run to run; skip the two extra
-        # model compiles rather than risk the whole bench timing out
-        details["inference_detail_skipped"] = "time budget exceeded"
+        # remote-compile latency varies ~2x run to run; don't risk the
+        # whole bench timing out on the two extra model compiles
+        details["inference_detail_note"] = (
+            "time budget exceeded — secondaries from last-good cache"
+        )
+    if sec is None:
+        try:
+            with open(cache_path) as f:
+                sec = json.load(f)
+            sec["secondaries_cached"] = True
+        except OSError:
+            sec = {"inference_detail_skipped": "no live run and no cache"}
+    details.update(sec)
     print(json.dumps(details), file=sys.stderr, flush=True)
 
 
