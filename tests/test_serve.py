@@ -167,6 +167,35 @@ def test_batcher_bucket_padding():
     assert b.stats.padded_rows == 0
 
 
+def test_batcher_latency_bounded_under_steady_rate():
+    """Wait-policy latency bound (VERDICT r3 #7): under a steady request
+    rate below service capacity, per-request latency must stay bounded by
+    max_wait + in-flight service time — NOT grow with queue depth. The
+    fake forward costs a fixed ~5 ms, requests arrive every ~5 ms, and the
+    wait cap is 10 ms, so any policy regression that serializes full
+    max_wait sleeps per request (or waits for a full bucket) blows the
+    generous CI bound; p50/p95 come from the batcher's own stats."""
+    import time as _time
+
+    def infer(x):
+        _time.sleep(0.005)
+        return np.zeros((x.shape[0], 4), np.float32)
+
+    with DynamicBatcher(infer, max_batch=8, max_wait_ms=10) as b:
+        futs = []
+        for _ in range(80):
+            futs.append(b.submit(np.zeros(CLIP, np.float32)))
+            _time.sleep(0.005)
+        for f in futs:
+            f.result(timeout=30)
+    s = b.stats.summary()
+    assert s["requests"] == 80
+    # steady state: wait cap (10) + ~2 service times (own + in-flight) +
+    # generous slack for the contended 1-core CI host
+    assert s["latency_ms_p50"] <= 100, s
+    assert s["latency_ms_p95"] <= 250, s
+
+
 def test_batcher_propagates_errors():
     def infer(x):
         raise RuntimeError("boom")
