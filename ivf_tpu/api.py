@@ -856,6 +856,9 @@ def find_masks(
         # chunked-path segment programs actually launched; under early_stop
         # a batch whose clips all converge stops launching segments early
         "segments_launched": 0,
+        # per-clip steps actually applied (== opt_iter unless early_stop
+        # froze the row sooner) — the convergence histogram's raw data
+        "n_steps_run": [],
     }
     flush_idx = [0]
     pert_cache: dict = {}
@@ -908,6 +911,9 @@ def find_masks(
             masks_np = np.asarray(_traced("fetch-mask", lambda: res.mask))[:n]
             freeze_np = np.asarray(res.freeze_score)[:n]
             reverse_np = np.asarray(res.reverse_score)[:n]
+            run_stats["n_steps_run"].extend(
+                np.asarray(res.n_steps_run)[:n].tolist()
+            )
             for j in range(n):
                 time_mask_results.append(
                     {

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 
-def build(batch_size, n_steps, dtype="bfloat16", use_scan=True):
+def build(batch_size, n_steps, dtype="bfloat16", use_scan=True,
+          mode="search"):
     from ivf_tpu.interpret.mask_opt import find_mask
     from ivf_tpu.models import ConvLSTMClassifier
 
@@ -58,6 +59,36 @@ def build(batch_size, n_steps, dtype="bfloat16", use_scan=True):
     inits = jnp.tile(
         jnp.where(jnp.arange(t) % 2 == 0, 1.0, -1.0)[None], (batch_size, 1)
     )
+
+    if mode != "search":
+        # batch-64-cliff isolation probes (VERDICT r3 #6): the same
+        # n_steps-amortized loop with (a) the plain batched forward or
+        # (b) forward+backward w.r.t. the mask logits but no Adam/perturb —
+        # whichever of these reproduces the cliff names the component
+        import jax.lax as lax
+
+        fwd = lambda c: model.apply(variables, c, train=False)
+
+        def run(clips, targets, inits, salt):
+            def body(acc, i):
+                x = clips + (salt + i) * 1e-6
+                if mode == "fwd":
+                    return acc + jnp.sum(fwd(x).astype(jnp.float32)), None
+
+                def loss_fn(m):  # per-row masks, like the vmapped search
+                    xm = x * jax.nn.sigmoid(m)[:, :, None, None, None]
+                    return jnp.sum(fwd(xm).astype(jnp.float32))
+
+                g = jax.grad(loss_fn)(inits + acc * 0)
+                return acc + jnp.sum(g), None
+
+            acc, _ = lax.scan(
+                body, 0.0, jnp.arange(n_steps, dtype=jnp.float32)
+            )
+            return acc
+
+        return jax.jit(run), (clips, targets, inits)
+
     # TF driver hyperparams: lam1 .02 lam2 .04, Adam lr 0.001
     # (find_mask_kth.py:97-105); lr does not change the step cost
     searcher = jax.vmap(
@@ -84,6 +115,10 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--unrolled", action="store_true")
+    ap.add_argument(
+        "--mode", default="search", choices=("search", "fwd", "fwdbwd"),
+        help="'fwd'/'fwdbwd' are cliff-isolation probes (no Adam/perturb)",
+    )
     args = ap.parse_args()
 
     results = {}
@@ -91,7 +126,8 @@ def main():
         try:
             t0 = time.time()
             run, rargs = build(
-                b, args.steps, args.dtype, use_scan=not args.unrolled
+                b, args.steps, args.dtype, use_scan=not args.unrolled,
+                mode=args.mode,
             )
             timed(run, rargs, 0.0)  # compile+warm
             compile_s = time.time() - t0

@@ -64,13 +64,24 @@ def run_case(cfg, variables, dataset, label, do_gradcam, save_viz=False):
         stats["searched_rows"]
         / max(stats["search_launches"] * cfg.data.batch_size, 1)
     )
+    mpm = n / (dt / 60)
     out = {
         "masks": n,
         "minutes": round(dt / 60, 2),
-        "masks_per_minute_per_chip": round(n / (dt / 60), 1),
+        "masks_per_minute_per_chip": round(mpm, 1),
         "search_occupancy": round(occ, 3),
-        **stats,
+        # BASELINE.md north star: full 24,777-clip smth val on a v5e-8
+        # (the search is embarrassingly clip-parallel; 8 chips scale
+        # linearly — dryrun_multichip validates the sharded path)
+        "extrapolated_v5e8_full_smth_val_minutes": round(
+            24777 / (mpm * 8), 1
+        ),
+        **{k: v for k, v in stats.items() if k != "n_steps_run"},
     }
+    sr = stats.get("n_steps_run") or []
+    if cfg.mask.early_stop and sr:
+        out["early_stop_steps_run_p50"] = int(np.percentile(sr, 50))
+        out["early_stop_steps_run_max"] = int(max(sr))
     print(f"{label}: {out}", flush=True)
     return out
 
@@ -90,6 +101,15 @@ def main():
         "the next batch's search (MaskConfig.async_viz, the default), "
         "'inline' = reference-style serialized writes — the pair measures "
         "the host/device overlap win",
+    )
+    ap.add_argument(
+        "--early-stop",
+        action="store_true",
+        help="the reference's INTENDED per-clip convergence semantics "
+        "(its own early stop is dead code): eta=1e-5 freezes every clip "
+        "by ~step 100 at the production config — measured 3x fewer search "
+        "segments with mask deviation <=0.014 and freeze-score deviation "
+        "<3e-7 vs fixed-300 (PERF.md round 4, scripts/bench_early_stop.py)",
     )
     ap.add_argument(
         "--skip-filtered",
@@ -118,6 +138,7 @@ def main():
         }
     )
     cfg.mask.opt_iter = args.steps
+    cfg.mask.early_stop = args.early_stop
     cfg.model.compute_dtype = "bfloat16"
 
     model = i3d_smth(
@@ -132,7 +153,11 @@ def main():
     )
     orig_bm = api_mod.build_model
     api_mod.build_model = lambda c, softmax_override=None: model
-    results = {"batch": args.batch, "steps": args.steps}
+    results = {
+        "batch": args.batch,
+        "steps": args.steps,
+        "early_stop": args.early_stop,
+    }
     try:
         save_viz = args.viz != "off"
         cfg.mask.async_viz = args.viz == "async"

@@ -1,0 +1,344 @@
+"""Quantify early-stop (the reference's INTENDED semantics) on the chip.
+
+The reference's per-clip early stop ``abs(oldLoss - loss) < eta`` is dead
+code in every driver (``oldLoss`` is never updated —
+FindMasksComparison_I3D_smth.py:193-214), but it is the *intended*
+semantics and the only identified lever under the <10-min north star
+(VERDICT r3 #1). This script measures, at the production config (I3D smth
+174, importer-synced weights, batch 128, bf16, central init, lam1=0.01
+lam2=0.02 lr=0.2 — FindMasksComparison_I3D_smth.py:106-113,163-164,191):
+
+  * ``trace``: ONE chip run records the full per-step (loss, class-score,
+    mask) trajectory of a fixed-300-step search for N clips (chunked into
+    tunnel-safe segments, exact production step math via
+    ``mask_opt._search_pieces`` with early_stop=False). From that single
+    run, host-side analysis derives — for a whole GRID of eta values —
+    the one-shot stop-step distribution (the step where the reference's
+    ``abs(oldLoss-loss)<eta`` first fires and the row freezes), the
+    mask / final-loss / freeze-score deviation of stopping there vs
+    running all 300 steps, the realized segment-quantized saving of the
+    production chunked driver (a batch skips remaining segments only once
+    EVERY row froze), and the continuous-refill upper bound
+    (300 / mean stop step). Per-row analysis is exact because early-stop
+    freezing couples no rows.
+  * ``e2e``: the production ``api.find_masks`` driver wall-clock with
+    ``early_stop=True`` vs ``False`` on the same clips (masks/min, the
+    segments_launched counter, and the artifact deviation between modes).
+
+Usage:
+  python scripts/bench_early_stop.py trace  [--clips 256] [--batch 128]
+         [--out earlystop_trace.npz]
+  python scripts/bench_early_stop.py analyze [--trace earlystop_trace.npz]
+  python scripts/bench_early_stop.py e2e    [--clips 256] [--batch 128]
+         [--eta 1e-5] [--chunk 0]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/reference/video_features_pytorch")
+
+import numpy as np
+
+LAM1, LAM2, LR, T, HW, NC = 0.01, 0.02, 0.2, 16, 224, 174
+ETAS = (1e-2, 1e-3, 1e-4, 1e-5, 1e-6)
+
+
+def build_model_and_vars():
+    """Importer-synced I3D smth (torch init distributions, identical
+    weights to the reference's Model) with the production optimization
+    flags — the flags are runtime transforms, same variable structure."""
+    import importlib
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from ivf_tpu.models import i3d_smth
+    from ivf_tpu.utils.import_torch import i3d_state_dict_to_variables
+
+    torch.manual_seed(0)
+    ref_mod = importlib.import_module("models.I3D_doubled")
+    ref = ref_mod.Model(
+        num_classes=NC, dropout_keep_prob=0.0, stride_mod_layers="",
+        softMax=True,
+    )
+    ref.eval()
+    variables = i3d_state_dict_to_variables(ref.state_dict())
+    # production dtype: bf16 weights (api.find_masks casts exactly like this)
+    variables = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        variables,
+    )
+    model = i3d_smth(
+        num_classes=NC, dropout_rate=0.0, softmax=True,
+        stem_s2d=True, fold_bn=True, fuse_1x1=True, pool_impl="argmax",
+    )
+    return model, variables
+
+
+def make_clips(n, batch, seed=0):
+    """Uncorrelated uint8 clips + round-robin labels, production cast."""
+    from ivf_tpu.data.synthetic import SyntheticClips
+
+    ds = SyntheticClips(n, t=T, hw=HW, num_classes=NC, seed=seed, lazy=False)
+    clips = np.stack([ds[i][0] for i in range(n)])
+    labels = np.asarray([ds[i][1] for i in range(n)], np.int32)
+    return clips, labels
+
+
+def cmd_trace(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ivf_tpu.interpret.mask_opt import (
+        _search_pieces,
+        init_mask_central,
+        make_search_carry,
+    )
+
+    model, variables = build_model_and_vars()
+    score_fn = lambda clip: model.apply(variables, clip[None], train=False)[
+        0
+    ].astype(jnp.float32)
+
+    chunk = args.chunk
+    n_seg, rem = divmod(args.steps, chunk)
+    assert rem == 0, "steps must be a multiple of chunk"
+
+    def segment(seq, target, carry):
+        _, _, step = _search_pieces(
+            score_fn, seq, target, LAM1, LAM2, LR, "freeze", False, 1e-5,
+            True,
+        )
+
+        def rec_step(c, _):
+            c, _ = step(c, None)
+            logits, _, loss, _, _, (_l1, _tv, score) = c
+            return c, (loss, score, jax.nn.sigmoid(logits))
+
+        return jax.lax.scan(rec_step, carry, None, length=chunk)
+
+    seg_batch = jax.jit(jax.vmap(segment))
+    init_batch = jax.jit(
+        jax.vmap(lambda c, t: init_mask_central(score_fn, c, t))
+    )
+    carry_batch = jax.jit(jax.vmap(lambda i: make_search_carry(i, LR)))
+    cast = jax.jit(lambda x: x.astype(jnp.float32))
+
+    clips_np, labels_np = make_clips(args.clips, args.batch)
+    losses = np.zeros((args.clips, args.steps), np.float32)
+    scores = np.zeros((args.clips, args.steps), np.float32)
+    masks = np.zeros((args.clips, args.steps, T), np.float32)
+    t0 = time.time()
+    for b0 in range(0, args.clips, args.batch):
+        clips = cast(jnp.asarray(clips_np[b0 : b0 + args.batch]))
+        targets = jnp.asarray(labels_np[b0 : b0 + args.batch])
+        inits = init_batch(clips, targets)
+        carry = carry_batch(inits)
+        jax.block_until_ready(carry)
+        for s in range(n_seg):
+            carry, (ls, sc, ms) = seg_batch(clips, targets, carry)
+            jax.block_until_ready(carry)  # tunnel execution-time cap
+            sl = slice(s * chunk, (s + 1) * chunk)
+            # vmapped scan ys: (B, chunk) / (B, chunk, T)
+            losses[b0 : b0 + args.batch, sl] = np.asarray(ls)
+            scores[b0 : b0 + args.batch, sl] = np.asarray(sc)
+            masks[b0 : b0 + args.batch, sl] = np.asarray(ms)
+            print(
+                f"batch@{b0} seg {s + 1}/{n_seg} "
+                f"({time.time() - t0:.0f}s)",
+                flush=True,
+            )
+    np.savez_compressed(
+        args.out,
+        losses=losses,
+        scores=scores,
+        masks=masks,
+        labels=labels_np,
+        batch=args.batch,
+        chunk=chunk,
+    )
+    print(f"trace saved to {args.out} ({time.time() - t0:.0f}s)")
+
+
+def cmd_analyze(args):
+    d = np.load(args.trace)
+    losses, scores, masks = d["losses"], d["scores"], d["masks"]
+    n, n_steps = losses.shape
+    batch = int(d["batch"])
+    deltas = np.abs(np.diff(losses, axis=1))  # deltas[:, k-1] = |L_{k-1}-L_k|
+    final_loss, final_score, final_mask = (
+        losses[:, -1],
+        scores[:, -1],
+        masks[:, -1],
+    )
+    report = {"clips": n, "steps": n_steps}
+    for eta in ETAS:
+        fired = deltas < eta  # fired[:, k-1] -> row freezes at step k
+        any_fire = fired.any(axis=1)
+        stop = np.where(any_fire, np.argmax(fired, axis=1) + 1, n_steps)
+        idx = np.minimum(stop, n_steps - 1)
+        rows = np.arange(n)
+        # a row frozen at step k keeps logits L_k: its mask is the one
+        # recorded after step k-1, its reported loss/score are step k's
+        dev_mask = np.abs(masks[rows, idx - 1] - final_mask).max(axis=1)
+        dev_mask = np.where(any_fire, dev_mask, 0.0)
+        dev_loss = np.where(
+            any_fire,
+            np.abs(losses[rows, idx] - final_loss)
+            / np.maximum(np.abs(final_loss), 1e-12),
+            0.0,
+        )
+        dev_score = np.where(
+            any_fire, np.abs(scores[rows, idx] - final_score), 0.0
+        )
+        # realized saving of the production chunked driver: a batch skips
+        # its remaining segments only once EVERY row froze
+        for chunk in (100, 50, 25):
+            segs = 0
+            for b0 in range(0, n, batch):
+                s = stop[b0 : b0 + batch]
+                segs += (
+                    int(np.ceil(s.max() / chunk))
+                    if (s < n_steps).all()
+                    else int(np.ceil(n_steps / chunk))
+                )
+            report.setdefault(f"segments_chunk{chunk}", {})[
+                f"eta{eta:g}"
+            ] = segs
+        report[f"eta{eta:g}"] = {
+            "frozen_frac": round(float(any_fire.mean()), 4),
+            "stop_p50": int(np.percentile(stop, 50)),
+            "stop_p90": int(np.percentile(stop, 90)),
+            "stop_p99": int(np.percentile(stop, 99)),
+            "stop_max": int(stop.max()),
+            "stop_mean": round(float(stop.mean()), 1),
+            "refill_speedup_bound": round(n_steps / float(stop.mean()), 2),
+            "dev_mask_max": float(f"{dev_mask.max():.3e}"),
+            "dev_loss_rel_max": float(f"{dev_loss.max():.3e}"),
+            "dev_freeze_score_max": float(f"{dev_score.max():.3e}"),
+        }
+    n_segs_fixed = (n // batch) * (n_steps // 100)
+    report["segments_fixed_chunk100"] = n_segs_fixed
+    print(json.dumps(report, indent=1))
+
+
+def cmd_e2e(args):
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    import ivf_tpu.api as api_mod
+    from ivf_tpu.config import Config
+    from ivf_tpu.data.synthetic import SyntheticClips
+
+    model, variables = build_model_and_vars()
+    # find_masks re-casts f32->bf16; ours already are bf16 (no-op)
+    cfg = Config.from_dict(
+        {
+            "model_name": "bench_earlystop",
+            "output_dir": tempfile.mkdtemp(),
+            "conv_model": "i3d_smth",
+            "num_classes": NC,
+            "batch_size": args.batch,
+            "clip_size": T,
+            "input_spatial_size": HW,
+            "dropout": 0.0,
+        }
+    )
+    cfg.mask.opt_iter = args.steps
+    cfg.model.compute_dtype = "bfloat16"
+    cfg.model.pool_impl = "argmax"
+    if args.chunk:
+        cfg.mask.chunk_steps = args.chunk
+    orig_bm = api_mod.build_model
+    api_mod.build_model = lambda c, softmax_override=None: model
+    results = {}
+    try:
+        ds = SyntheticClips(
+            args.clips, t=T, hw=HW, num_classes=NC, lazy=False
+        )
+        for mode in ("warm", "fixed", "early"):
+            cfg.mask.early_stop = mode == "early"
+            cfg.mask.eta = args.eta
+            stats = {}
+            t0 = time.time()
+            tm, _ = api_mod.find_masks(
+                cfg,
+                variables,
+                dataset=ds if mode != "warm" else SyntheticClips(
+                    args.batch, t=T, hw=HW, num_classes=NC
+                ),
+                save_viz=False,
+                do_gradcam=True,
+                stats=stats,
+            )
+            dt = time.time() - t0
+            if mode == "warm":
+                continue
+            results[mode] = {
+                "masks": len(tm),
+                "minutes": round(dt / 60, 2),
+                "masks_per_min": round(len(tm) / (dt / 60), 1),
+                "segments_launched": stats.get("segments_launched"),
+                "steps_run": stats.get("n_steps_run"),
+                "masks_arr": np.stack([r["time_mask"] for r in tm]),
+                "freeze": np.asarray([r["freeze_score"] for r in tm]),
+            }
+    finally:
+        api_mod.build_model = orig_bm
+    f, e = results["fixed"], results["early"]
+    dev = float(np.abs(f.pop("masks_arr") - e.pop("masks_arr")).max())
+    dev_fs = float(np.abs(f.pop("freeze") - e.pop("freeze")).max())
+    sr = e.pop("steps_run", None) or []
+    f.pop("steps_run", None)
+    out = {
+        "batch": args.batch,
+        "eta": args.eta,
+        "chunk": args.chunk or "auto",
+        "fixed": f,
+        "early": e,
+        "dev_mask_max": dev,
+        "dev_freeze_score_max": dev_fs,
+        "early_steps_run": {
+            "p50": int(np.percentile(sr, 50)) if sr else None,
+            "max": int(max(sr)) if sr else None,
+        },
+    }
+    print(json.dumps(out, indent=1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("phase", choices=("trace", "analyze", "e2e"))
+    ap.add_argument("--clips", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--chunk", type=int, default=0)
+    ap.add_argument("--eta", type=float, default=1e-5)
+    ap.add_argument("--out", default="earlystop_trace.npz")
+    ap.add_argument("--trace", default="earlystop_trace.npz")
+    ap.add_argument(
+        "--backend", default="tpu", choices=("cpu", "tpu"),
+        help="'cpu' is for smoke-testing the harness at tiny sizes",
+    )
+    args = ap.parse_args()
+    if args.backend == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.phase == "trace" and not args.chunk:
+        args.chunk = 50
+    {"trace": cmd_trace, "analyze": cmd_analyze, "e2e": cmd_e2e}[args.phase](
+        args
+    )
+
+
+if __name__ == "__main__":
+    main()

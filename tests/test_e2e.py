@@ -829,6 +829,11 @@ def test_find_masks_early_stop_skips_converged_segments(tmp_path):
     assert len(tm2) == 4
     assert stats2["segments_launched"] == 1
     assert stats2["search_launches"] == 1
+    # the per-clip convergence histogram raw data: the control ran every
+    # step; the early-stop rows froze on their first step (|999999-loss| <
+    # eta fires before any update applies, so n_run stays 0)
+    assert stats["n_steps_run"] == [6] * 4
+    assert stats2["n_steps_run"] == [0] * 4
 
 
 def test_find_masks_classscore_txt_without_gradcam(tmp_path):
