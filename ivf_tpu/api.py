@@ -698,6 +698,17 @@ def find_masks(
 
     prologue_batch = hot_jit(_prologue)
 
+    if mk.early_stop and mk.eta > 1e-4:
+        import warnings
+
+        warnings.warn(
+            f"early_stop with eta={mk.eta:g}: the one-shot convergence "
+            "criterion fires spuriously on the flat first step at loose "
+            "etas (measured: eta>=1e-3 freezes EVERY clip at step 1 with "
+            "masks ~unchanged from init — PERF.md round 4). Use the "
+            "reference's eta=1e-5 or tighter.",
+            stacklevel=2,
+        )
     search_kwargs = dict(
         lam1=mk.lam1,
         lam2=mk.lam2,

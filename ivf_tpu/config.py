@@ -147,9 +147,17 @@ class MaskConfig:
     # (find_mask_smth.py:364-366); the torch driver has no such filter, so
     # the default keeps everything.
     min_score: float = 0.0
+    # Early stop: the reference's INTENDED per-clip convergence semantics
+    # (its own `abs(oldLoss-loss) < eta` is dead code — oldLoss never
+    # updates; interpret/mask_opt.py docstring). early_stop=True is the
+    # measured fast mode: at eta=1e-5 (the reference's value,
+    # FindMasksComparison_I3D_smth.py:164) every clip froze by step ~100 at
+    # the production config — 3x fewer search segments, mask deviation
+    # <=0.0135 and class/freeze-score deviation <3e-7 vs fixed-300 (PERF.md
+    # round 4). The one-shot criterion is BRITTLE at loose etas (>=1e-3
+    # fires on the flat first step); find_masks warns above 1e-4.
     eta: float = 1e-5
-    early_stop: bool = False  # reference's early stop is dead code; see
-    # interpret/mask_opt.py
+    early_stop: bool = False  # default stays exact reference parity
     # freeze perturbation inside the search loop: closed-form transition
     # matrix (fast, ~1e-4 reassociation drift) vs the bit-exact scan —
     # set False for exact-parity comparison runs (interpret/perturb.py)

@@ -822,10 +822,13 @@ def test_find_masks_early_stop_skips_converged_segments(tmp_path):
         early_stop=True, eta=1e9,
     )
     stats2 = {}
-    tm2, _ = find_masks(
-        cfg2, variables2, dataset=ds, save_viz=False, do_gradcam=False,
-        stats=stats2,
-    )
+    # a loose eta also pins the brittleness warning (measured: eta>=1e-3
+    # fires the one-shot criterion on the flat first step — PERF.md r4)
+    with pytest.warns(UserWarning, match="early_stop with eta"):
+        tm2, _ = find_masks(
+            cfg2, variables2, dataset=ds, save_viz=False, do_gradcam=False,
+            stats=stats2,
+        )
     assert len(tm2) == 4
     assert stats2["segments_launched"] == 1
     assert stats2["search_launches"] == 1
