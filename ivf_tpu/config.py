@@ -390,6 +390,10 @@ _OVERRIDES = [
     # 'bfloat16': mixed-precision training (f32 master params/opt/BN
     # stats, bf16 compute) and bf16 inference / mask search
     ("--compute_dtype", "-cdt", "model.compute_dtype", str),
+    # the measured fast mode for find-masks (1=on): the reference's
+    # intended per-clip convergence stop — see MaskConfig.early_stop
+    ("--early_stop", "-estp", "mask.early_stop", int),
+    ("--eta", "-eta", "mask.eta", float),
 ]
 
 
