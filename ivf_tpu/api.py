@@ -791,6 +791,7 @@ def find_masks(
             # into segment 1 would recreate a >1 min continuous device run
             jax.block_until_ready(carry)
             for k in range(n_full):
+                t0 = time.time()
                 carry = _traced(
                     f"seg{k + 1}", partial(seg_batch, clips, targets, carry)
                 )
@@ -799,6 +800,13 @@ def find_masks(
                 # point of chunking on execution-time-capped backends (the
                 # dispatch gap is ~30 ms against a ~30 s segment)
                 jax.block_until_ready(carry)
+                # the sync above makes this a real launch wall time for
+                # free — per-segment seconds let callers separate steady-
+                # state throughput from first-encounter/compile noise
+                # (PERF.md round-3 launch anatomy; VERDICT r3 weak #3)
+                run_stats["segment_seconds"].append(
+                    round(time.time() - t0, 2)
+                )
                 run_stats["segments_launched"] += 1
                 # Once every clip in the batch has converged, further
                 # segments are mathematical no-ops (the step fn freezes
@@ -870,6 +878,9 @@ def find_masks(
         # per-clip steps actually applied (== opt_iter unless early_stop
         # froze the row sooner) — the convergence histogram's raw data
         "n_steps_run": [],
+        # chunked-path per-segment launch wall times (sync-bounded): the
+        # raw data for steady-state vs first-encounter throughput analysis
+        "segment_seconds": [],
     }
     flush_idx = [0]
     pert_cache: dict = {}
