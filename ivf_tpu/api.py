@@ -748,8 +748,9 @@ def find_masks(
             return res, cams
 
         search_and_cam = hot_jit(_search_full)
+        pro_seg_batch = None  # prologue fusion is a chunked-path concept
 
-        def run_search(clips, targets, inits, carry):
+        def run_search(clips, targets, inits, carry, segs_done=0):
             return _traced(
                 "search+cam", partial(search_and_cam, clips, targets, carry)
             )
@@ -786,41 +787,75 @@ def find_masks(
 
         epilogue = hot_jit(_epilogue)
 
-        def run_search(clips, targets, inits, carry):
-            # fence the (async-dispatched) prologue program: chaining it
-            # into segment 1 would recreate a >1 min continuous device run
-            jax.block_until_ready(carry)
-            for k in range(n_full):
-                t0 = time.time()
-                carry = _traced(
-                    f"seg{k + 1}", partial(seg_batch, clips, targets, carry)
+        # Prologue fusion (MaskConfig.fuse_prologue): the prologue's ~11
+        # batched forwards are ~1.4 s of compute, but as a SEPARATE program
+        # carrying the GB-scale clip batch it pays the tunnel's per-launch
+        # overhead (8.9 s steady-state, PERF.md round 4). Folding it into
+        # segment 1 makes one program of ~28 s device time — still under
+        # the tunnel's ~1 min execution kill — and drops one GB-operand
+        # launch per flush. Identical math: the very ops the two programs
+        # ran back-to-back, now traced into one.
+        pro_seg_batch = None
+        if mk.fuse_prologue and run_temp_mask:
+
+            def _pro_seg1(clips, labels, outputs, rng_keys):
+                outputs, targets, inits, carry = _prologue(
+                    clips, labels, outputs, rng_keys
                 )
-                # synchronize between segments: async dispatch would chain
-                # them into one continuous device run, defeating the whole
-                # point of chunking on execution-time-capped backends (the
-                # dispatch gap is ~30 ms against a ~30 s segment)
-                jax.block_until_ready(carry)
-                # the sync above makes this a real launch wall time for
-                # free — per-segment seconds let callers separate steady-
-                # state throughput from first-encounter/compile noise
-                # (PERF.md round-3 launch anatomy; VERDICT r3 weak #3)
-                run_stats["segment_seconds"].append(
-                    round(time.time() - t0, 2)
-                )
-                run_stats["segments_launched"] += 1
-                # Once every clip in the batch has converged, further
-                # segments are mathematical no-ops (the step fn freezes
-                # inactive rows' logits AND Adam state) — skip them. The
-                # flags are a B-bool fetch, paid only under early_stop.
-                if mk.early_stop and not np.asarray(carry[3]).any():
-                    break
-            else:
-                if rem_batch is not None:
-                    carry = _traced(
-                        "segrem", partial(rem_batch, clips, targets, carry)
+                carry = jax.vmap(
+                    partial(
+                        search_segment, score_fn, n_steps=chunk, **search_kwargs
                     )
+                )(clips, targets, carry)
+                return outputs, targets, inits, carry
+
+            pro_seg_batch = hot_jit(_pro_seg1)
+
+        def run_search(clips, targets, inits, carry, segs_done=0):
+            if segs_done == 0:
+                # fence the (async-dispatched) prologue program: chaining
+                # it into segment 1 would recreate a >1 min continuous
+                # device run (fused-path carries arrive already synced)
+                jax.block_until_ready(carry)
+            # a fused segment 1 may already have converged every row
+            skip_rest = (
+                segs_done > 0
+                and mk.early_stop
+                and not np.asarray(carry[3]).any()
+            )
+            if not skip_rest:
+                for k in range(segs_done, n_full):
+                    t0 = time.time()
+                    carry = _traced(
+                        f"seg{k + 1}", partial(seg_batch, clips, targets, carry)
+                    )
+                    # synchronize between segments: async dispatch would
+                    # chain them into one continuous device run, defeating
+                    # the whole point of chunking on execution-time-capped
+                    # backends (the dispatch gap is ~30 ms vs a ~30 s seg)
                     jax.block_until_ready(carry)
+                    # the sync above makes this a real launch wall time for
+                    # free — per-segment seconds let callers separate
+                    # steady-state throughput from first-encounter/compile
+                    # noise (PERF.md round-3 launch anatomy)
+                    run_stats["segment_seconds"].append(
+                        round(time.time() - t0, 2)
+                    )
                     run_stats["segments_launched"] += 1
+                    # Once every clip in the batch has converged, further
+                    # segments are mathematical no-ops (the step fn freezes
+                    # inactive rows' logits AND Adam state) — skip them.
+                    # The flags are a B-bool fetch, paid only under
+                    # early_stop.
+                    if mk.early_stop and not np.asarray(carry[3]).any():
+                        break
+                else:
+                    if rem_batch is not None:
+                        carry = _traced(
+                            "segrem", partial(rem_batch, clips, targets, carry)
+                        )
+                        jax.block_until_ready(carry)
+                        run_stats["segments_launched"] += 1
             return _traced(
                 "finalize+cam", partial(epilogue, clips, targets, carry)
             )
@@ -881,6 +916,11 @@ def find_masks(
         # chunked-path per-segment launch wall times (sync-bounded): the
         # raw data for steady-state vs first-encounter throughput analysis
         "segment_seconds": [],
+        # fused prologue+segment-1 launch wall times (fuse_prologue path);
+        # kept separate from segment_seconds so steady-state per-segment
+        # analysis is not polluted by the prologue share of the fused
+        # program
+        "proseg1_seconds": [],
     }
     flush_idx = [0]
     pert_cache: dict = {}
@@ -915,10 +955,27 @@ def find_masks(
             rng_keys = jax.random.split(
                 jax.random.PRNGKey(cfg.seed + flush_idx[0]), B
             )
-        outputs, targets, inits, carry = _traced(
-            "prologue",
-            partial(prologue_batch, clips_dev, labels_dev, outputs_arg, rng_keys),
-        )
+        segs_done = 0
+        if pro_seg_batch is not None:
+            # fused prologue+segment-1: one GB-operand launch per flush
+            t0 = time.time()
+            outputs, targets, inits, carry = _traced(
+                "prologue+seg1",
+                partial(
+                    pro_seg_batch, clips_dev, labels_dev, outputs_arg, rng_keys
+                ),
+            )
+            jax.block_until_ready(carry)
+            run_stats["proseg1_seconds"].append(round(time.time() - t0, 2))
+            run_stats["segments_launched"] += 1
+            segs_done = 1
+        else:
+            outputs, targets, inits, carry = _traced(
+                "prologue",
+                partial(
+                    prologue_batch, clips_dev, labels_dev, outputs_arg, rng_keys
+                ),
+            )
         if outputs_arg is None:
             run_stats["score_launches"] += 1
         outputs_np = np.asarray(outputs)[:n]
@@ -926,7 +983,7 @@ def find_masks(
 
         res = cams = masks_np = freeze_np = reverse_np = None
         if run_temp_mask:
-            res, cams = run_search(clips_dev, targets, inits, carry)
+            res, cams = run_search(clips_dev, targets, inits, carry, segs_done)
             run_stats["search_launches"] += 1
             run_stats["searched_rows"] += n
             run_stats["padded_rows"] += B - n

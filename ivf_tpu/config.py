@@ -171,6 +171,15 @@ class MaskConfig:
     # single executions >~1 min; a batch-128 300-step program runs ~85 s),
     # monolithic elsewhere. Set an int to force a segment length.
     chunk_steps: Optional[int] = None
+    # Fuse the prologue (score forward + central-init probes + Adam carry)
+    # INTO the first search segment on the chunked path: one GB-operand
+    # program launch per flush instead of two. Mathematically identical
+    # (same ops, one program — equality test-pinned); pays off on backends
+    # with large per-launch overhead on GB-scale operands (the axon tunnel:
+    # the separate prologue measured 8.9 s steady-state of which only
+    # ~1.4 s is compute — PERF.md round 4). False = separate prologue
+    # program (the round-3 anatomy).
+    fuse_prologue: bool = True
     # Overlap per-clip viz/artifact writing (PNG triptychs, GIFs, score txt
     # files) with the next batch's device search via a single background
     # writer thread. Device programs stay on the main thread; only the
@@ -394,6 +403,9 @@ _OVERRIDES = [
     # intended per-clip convergence stop — see MaskConfig.early_stop
     ("--early_stop", "-estp", "mask.early_stop", int),
     ("--eta", "-eta", "mask.eta", float),
+    # 0 disables the fused prologue+segment-1 program on the chunked
+    # mask-search path (debug/ablation; see MaskConfig.fuse_prologue)
+    ("--fuse_prologue", "-fpro", "mask.fuse_prologue", int),
 ]
 
 

@@ -79,22 +79,31 @@ def run_case(cfg, variables, dataset, label, do_gradcam, save_viz=False):
         **{
             k: v
             for k, v in stats.items()
-            if k not in ("n_steps_run", "segment_seconds")
+            if k not in ("n_steps_run", "segment_seconds", "proseg1_seconds")
         },
     }
     segs = stats.get("segment_seconds") or []
+    pro = stats.get("proseg1_seconds") or []
     launches = stats.get("search_launches", 0)
-    if len(segs) > 1 and launches:
+    if launches and (len(segs) > 1 or len(pro) > 1):
         # steady-state vs single-run (VERDICT r3 weak #3): single-run
         # numbers on the tunnel carry ~±15% first-encounter transfer noise
         # (each DISTINCT program re-keys its GB-scale operand on first
-        # execution); the steady-state figure uses the segment medians,
+        # execution); the steady-state figure uses the launch medians,
         # which exclude that one-time cost
-        med = float(np.median(segs))
-        per_launch = med * (len(segs) / launches)
-        out["segment_seconds_median"] = round(med, 2)
-        # search-only (excludes prologue/epilogue/CAM — the full launch
-        # anatomy lives in IVF_TRACE_LAUNCH=1 runs, PERF.md)
+        per_launch = 0.0
+        if segs:
+            med = float(np.median(segs))
+            out["segment_seconds_median"] = round(med, 2)
+            per_launch += med * (len(segs) / launches)
+        if pro:
+            # fused prologue+segment-1 program: one per flush — the
+            # steady-state figure below therefore INCLUDES the prologue
+            # (unlike the round-3 search-only anatomy); only the epilogue
+            # (~0.2 s) and CAM remain outside it
+            pro_med = float(np.median(pro))
+            out["proseg1_seconds_median"] = round(pro_med, 2)
+            per_launch += pro_med
         out["steady_state_search_masks_per_min"] = round(
             cfg.data.batch_size * 60 / per_launch, 1
         )

@@ -211,12 +211,13 @@ def test_iteration_suffix_and_train_split_flags():
 
     parser = argparse.ArgumentParser()
     add_cli_overrides(parser)
-    args = parser.parse_args(["-i", "3", "-l1", "0.5"])
+    args = parser.parse_args(["-i", "3", "-l1", "0.5", "-fpro", "0"])
     cfg = Config()
     base = cfg.model_name
     cfg = apply_cli_overrides(cfg, args)
     assert cfg.model_name == base + "3"
     assert cfg.mask.lam1 == 0.5
+    assert cfg.mask.fuse_prologue is False  # int 0 -> bool coercion
 
     assert inspect.signature(find_masks).parameters["split"].default == "validation"
 

@@ -736,7 +736,9 @@ def test_chunked_search_bit_identical_to_monolithic():
 
 def test_find_masks_chunked_matches_monolithic_e2e(tmp_path):
     """api.find_masks with chunk_steps set produces identical masks/scores
-    to the monolithic default (CPU backend auto = monolithic)."""
+    to the monolithic default (CPU backend auto = monolithic), with AND
+    without the fused prologue+segment-1 program (MaskConfig.fuse_prologue
+    — same ops traced into one program, so equality must be exact)."""
     from ivf_tpu.api import find_masks
     from ivf_tpu.config import Config
     import ivf_tpu.api as api_mod
@@ -755,10 +757,15 @@ def test_find_masks_chunked_matches_monolithic_e2e(tmp_path):
         jax.random.PRNGKey(0), jnp.zeros((1, 8, 16, 16, 3))
     )
     results = {}
+    all_stats = {}
     orig_bm = api_mod.build_model
     api_mod.build_model = lambda c, softmax_override=None: model
     try:
-        for name, chunk in [("mono", None), ("chunked", 3)]:
+        for name, chunk, fuse in [
+            ("mono", None, True),
+            ("chunked", 3, True),
+            ("chunked_nofuse", 3, False),
+        ]:
             cfg = Config.from_dict(
                 {
                     "model_name": f"fmchunk_{name}",
@@ -774,16 +781,32 @@ def test_find_masks_chunked_matches_monolithic_e2e(tmp_path):
             cfg.model.effective_steps = (3, 7)
             cfg.mask.opt_iter = 8
             cfg.mask.chunk_steps = chunk
+            cfg.mask.fuse_prologue = fuse
+            stats = {}
             tm, _ = find_masks(
                 cfg, variables, dataset=_DS(), save_viz=False,
-                do_gradcam=False,
+                do_gradcam=False, stats=stats,
             )
             results[name] = tm
+            all_stats[name] = stats
     finally:
         api_mod.build_model = orig_bm
 
     assert len(results["mono"]) == len(results["chunked"]) == 4
-    for a, b in zip(results["mono"], results["chunked"]):
-        np.testing.assert_array_equal(a["time_mask"], b["time_mask"])
-        assert a["freeze_score"] == b["freeze_score"]
-        assert a["reverse_score"] == b["reverse_score"]
+    assert len(results["chunked_nofuse"]) == 4
+    for ref in ("chunked", "chunked_nofuse"):
+        for a, b in zip(results["mono"], results[ref]):
+            np.testing.assert_array_equal(a["time_mask"], b["time_mask"])
+            assert a["freeze_score"] == b["freeze_score"]
+            assert a["reverse_score"] == b["reverse_score"]
+
+    # launch accounting: opt_iter=8, chunk=3 -> seg1 + seg2 + rem(2) = 3
+    # segment programs either way; the fused path folds segment 1 into the
+    # prologue program (1 proseg1 launch + 2 loop launches) while the
+    # unfused path launches a separate prologue then all 3 segments
+    assert all_stats["chunked"]["segments_launched"] == 3
+    assert all_stats["chunked_nofuse"]["segments_launched"] == 3
+    assert len(all_stats["chunked"]["proseg1_seconds"]) == 1
+    assert len(all_stats["chunked"]["segment_seconds"]) == 1
+    assert all_stats["chunked_nofuse"]["proseg1_seconds"] == []
+    assert len(all_stats["chunked_nofuse"]["segment_seconds"]) == 2
