@@ -810,3 +810,91 @@ def test_find_masks_chunked_matches_monolithic_e2e(tmp_path):
     assert len(all_stats["chunked"]["segment_seconds"]) == 1
     assert all_stats["chunked_nofuse"]["proseg1_seconds"] == []
     assert len(all_stats["chunked_nofuse"]["segment_seconds"]) == 2
+
+
+def test_find_masks_early_stop_converges_inside_fused_segment1(tmp_path):
+    """Early-stop + fuse_prologue: when every clip converges INSIDE the
+    fused prologue+segment-1 program (the measured production behavior —
+    stop p50 ~90 < chunk 100, PERF.md round 4), the driver must launch NO
+    further segments (the skip_rest branch) and still produce results
+    identical to the unfused chunked and monolithic early-stop paths.
+    eta=1e6 makes the one-shot criterion fire deterministically at step 1
+    for every row."""
+    import warnings
+
+    from ivf_tpu.api import find_masks
+    from ivf_tpu.config import Config
+    import ivf_tpu.api as api_mod
+    from ivf_tpu.models import ConvLSTMClassifier
+
+    from ivf_tpu.data.synthetic import SyntheticClips
+
+    model = ConvLSTMClassifier(
+        num_classes=3, nb_lstm_units=4, lstm_layers=1, conv_kernel_size=3,
+        effective_steps=(3, 7), dropout_rate=0.0, add_softmax=True,
+    )
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 16, 16, 3))
+    )
+    results = {}
+    all_stats = {}
+    orig_bm = api_mod.build_model
+    api_mod.build_model = lambda c, softmax_override=None: model
+    try:
+        for name, chunk, fuse in [
+            ("mono", None, True),
+            ("fused", 3, True),
+            ("nofuse", 3, False),
+        ]:
+            cfg = Config.from_dict(
+                {
+                    "model_name": f"fmes_{name}",
+                    "output_dir": str(tmp_path / name),
+                    "conv_model": "clstm",
+                    "num_classes": 3,
+                    "batch_size": 4,
+                    "clip_size": 8,
+                    "input_spatial_size": 16,
+                    "num_workers": 1,
+                }
+            )
+            cfg.model.effective_steps = (3, 7)
+            cfg.mask.opt_iter = 8
+            cfg.mask.chunk_steps = chunk
+            cfg.mask.fuse_prologue = fuse
+            cfg.mask.early_stop = True
+            cfg.mask.eta = 1e6  # converge-at-step-1, deterministically
+            stats = {}
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", UserWarning)  # loose-eta warn
+                tm, _ = find_masks(
+                    cfg,
+                    variables,
+                    dataset=SyntheticClips(4, t=8, hw=16, num_classes=3, lazy=False),
+                    save_viz=False,
+                    do_gradcam=False,
+                    stats=stats,
+                )
+            results[name] = tm
+            all_stats[name] = stats
+    finally:
+        api_mod.build_model = orig_bm
+
+    # all rows frozen after the fused segment 1 -> skip_rest: the fused
+    # program is the ONLY search launch; the unfused path launches its
+    # separate prologue then stops after segment 1; neither runs the
+    # remainder segment (frozen rows make it a mathematical no-op, and
+    # early-stop's contract is to skip it)
+    assert all_stats["fused"]["segments_launched"] == 1
+    assert all_stats["fused"]["segment_seconds"] == []
+    assert len(all_stats["fused"]["proseg1_seconds"]) == 1
+    assert all_stats["nofuse"]["segments_launched"] == 1
+    # eta=1e6 fires on the very first convergence check, before any update
+    # applies — every row reports 0 steps run, on every path
+    assert all(s["n_steps_run"] == [0] * 4 for s in all_stats.values())
+
+    for ref in ("fused", "nofuse"):
+        for a, b in zip(results["mono"], results[ref]):
+            np.testing.assert_array_equal(a["time_mask"], b["time_mask"])
+            assert a["freeze_score"] == b["freeze_score"]
+            assert a["reverse_score"] == b["reverse_score"]
