@@ -47,19 +47,12 @@ LAM1, LAM2, LR, T, HW, NC = 0.01, 0.02, 0.2, 16, 224, 174
 ETAS = (1e-2, 1e-3, 1e-4, 1e-5, 1e-6)
 
 
-def build_model_and_vars():
-    """Importer-synced I3D smth (torch init distributions, identical
-    weights to the reference's Model) with the production optimization
-    flags — the flags are runtime transforms, same variable structure."""
+def _importer_variables():
+    """f32 importer-synced I3D smth variables (torch init distributions,
+    identical weights to the reference's Model)."""
     import importlib
 
     import torch
-
-    import jax
-    import jax.numpy as jnp
-
-    from ivf_tpu.models import i3d_smth
-    from ivf_tpu.utils.import_torch import i3d_state_dict_to_variables
 
     torch.manual_seed(0)
     ref_mod = importlib.import_module("models.I3D_doubled")
@@ -68,17 +61,42 @@ def build_model_and_vars():
         softMax=True,
     )
     ref.eval()
-    variables = i3d_state_dict_to_variables(ref.state_dict())
-    # production dtype: bf16 weights (api.find_masks casts exactly like this)
-    variables = jax.tree.map(
+    from ivf_tpu.utils.import_torch import i3d_state_dict_to_variables
+
+    return i3d_state_dict_to_variables(ref.state_dict())
+
+
+def _bf16_variables(variables):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
         variables,
     )
-    model = i3d_smth(
+
+
+def _pool_shape(hw):
+    """None = the exact smth production head (2,7,7) at hw=224; smaller
+    hw (CPU smoke only) shrinks the logits avg-pool to the feature map."""
+    return None if hw == HW else (2, max(1, hw // 32), max(1, hw // 32))
+
+
+def _production_model(hw=HW):
+    from ivf_tpu.models import i3d_smth
+
+    return i3d_smth(
         num_classes=NC, dropout_rate=0.0, softmax=True,
         stem_s2d=True, fold_bn=True, fuse_1x1=True, pool_impl="argmax",
+        pool_shape=_pool_shape(hw),
     )
-    return model, variables
+
+
+def build_model_and_vars():
+    """Importer-synced I3D smth with the production optimization flags —
+    the flags are runtime transforms, same variable structure; weights in
+    bf16 exactly as api.find_masks casts them."""
+    return _production_model(), _bf16_variables(_importer_variables())
 
 
 def make_clips(n, batch, seed=0):
@@ -91,6 +109,155 @@ def make_clips(n, batch, seed=0):
     return clips, labels
 
 
+def make_flash_clips(n, hw=HW, seed=0):
+    """Temporally STRUCTURED clips: uniform noise plus one bright square
+    'flash' in exactly one frame t*; the label IS t*. This gives the mask
+    search a real, temporally localized class signal (the freeze
+    perturbation erases the flash by copying frame t*-1 over it), so a
+    model trained on this task reproduces the high-class-score regime the
+    importer-weights trace can't reach. t* is drawn from 1..T-1 — frame 0
+    cannot be frozen away (the freeze recursion keeps u_0 = v_0,
+    interpret/perturb.py), so label 0 would be degenerate."""
+    rng = np.random.default_rng(seed)
+    clips = rng.integers(0, 256, (n, T, hw, hw, 3), dtype=np.uint8)
+    labels = rng.integers(1, T, n, dtype=np.int32)
+    c0, side = hw // 2 - hw // 6, hw // 3
+    for i in range(n):
+        clips[i, labels[i], c0 : c0 + side, c0 : c0 + side, :] = 255
+    return clips, labels
+
+
+def train_flash_model(args, log=print):
+    """Train the importer-initialized I3D on the flash task on the chip.
+
+    Returns f32 trained variables + the held-out top-1. The trainer is a
+    scan of ``--train-chunk`` steps per launch over a device-resident
+    uint8 training set (the tunnel kills single executions >~1 min and
+    charges ~24ms+ per dispatch, so neither one-step-per-launch nor one
+    giant program works). Same mixed-precision discipline as
+    train/loop.py::make_train_step: bf16 fwd/bwd casts, f32 master
+    params / Adam state / BN running stats / loss."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ivf_tpu.models import i3d_smth
+    from ivf_tpu.train.loop import _cast_f32, _compute_loss
+    from ivf_tpu.train.metrics import topk_accuracy
+
+    hw = args.hw
+    model = i3d_smth(
+        num_classes=NC, dropout_rate=0.0, softmax=False,
+        stem_s2d=True, fold_bn=True, fuse_1x1=True,
+        pool_shape=_pool_shape(hw),
+    )  # fold/fuse are inert under train=True (layers.py:102,203)
+    variables = _importer_variables()
+    params, stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(args.train_lr)
+    opt_state = tx.init(params)
+
+    clips_np, labels_np = make_flash_clips(
+        args.train_clips + args.eval_clips, hw, seed=1
+    )
+    tr_clips = jnp.asarray(clips_np[: args.train_clips])  # device uint8
+    tr_labels = jnp.asarray(labels_np[: args.train_clips])
+    ev_clips, ev_labels = (
+        clips_np[args.train_clips :],
+        labels_np[args.train_clips :],
+    )
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=(8,))
+    def run_chunk(params, opt_state, stats, tr_clips, tr_labels, idxs, rng,
+                  step0, k):
+        def one_step(carry, xs):
+            params, opt_state, stats = carry
+            bidx, step = xs
+            clips = tr_clips[bidx].astype(jnp.bfloat16)
+            labels = tr_labels[bidx]
+
+            def loss_fn(p):
+                logits, upd = model.apply(
+                    {
+                        "params": _cast_f32(p, jnp.bfloat16),
+                        "batch_stats": stats,
+                    },
+                    clips,
+                    train=True,
+                    rngs={"dropout": jax.random.fold_in(rng, step)},
+                    mutable=["batch_stats"],
+                )
+                loss = _compute_loss(
+                    logits.astype(jnp.float32), labels, "cross_entropy"
+                )
+                new_stats = jax.tree.map(
+                    lambda a: a.astype(jnp.float32)
+                    if hasattr(a, "dtype") and a.dtype == jnp.bfloat16
+                    else a,
+                    upd["batch_stats"],
+                )
+                return loss, (logits, new_stats)
+
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            (top1,) = topk_accuracy(logits, labels, (1,))
+            return (params, new_opt, new_stats), (loss, top1)
+
+        steps = step0 + jnp.arange(k)
+        carry, (losses, accs) = jax.lax.scan(
+            one_step, (params, opt_state, stats), (idxs, steps)
+        )
+        return carry, losses, accs
+
+    rng = jax.random.PRNGKey(2)
+    host_rng = np.random.default_rng(3)
+    t0, step = time.time(), 0
+    while step < args.train_steps:
+        k = min(args.train_chunk, args.train_steps - step)
+        idxs = jnp.asarray(
+            host_rng.integers(
+                0, args.train_clips, (k, args.train_batch), dtype=np.int32
+            )
+        )
+        (params, opt_state, stats), losses, accs = run_chunk(
+            params, opt_state, stats, tr_clips, tr_labels, idxs, rng, step, k
+        )
+        jax.block_until_ready(params)  # tunnel execution-time cap
+        step += k
+        log(
+            f"train step {step}/{args.train_steps} loss "
+            f"{np.asarray(losses)[-5:].mean():.4f} top1 "
+            f"{np.asarray(accs)[-5:].mean():.3f} "
+            f"({time.time() - t0:.0f}s)"
+        )
+
+    trained = {"params": params, "batch_stats": stats}
+    eval_model = _production_model(hw)
+    fwd = jax.jit(
+        lambda v, c: eval_model.apply(v, c, train=False).argmax(-1)
+    )
+    v_bf16 = _bf16_variables(trained)
+    pred = np.concatenate(
+        [
+            np.asarray(
+                fwd(
+                    v_bf16,
+                    jnp.asarray(ev_clips[i : i + 32]).astype(jnp.float32),
+                )
+            )
+            for i in range(0, len(ev_clips), 32)
+        ]
+    )
+    top1 = float((pred == ev_labels).mean())
+    log(f"held-out top1 after training: {top1:.3f} ({len(ev_labels)} clips)")
+    trained_f32 = jax.tree.map(np.asarray, trained)
+    return trained_f32, top1
+
+
 def cmd_trace(args):
     import jax
     import jax.numpy as jnp
@@ -101,7 +268,19 @@ def cmd_trace(args):
         make_search_carry,
     )
 
-    model, variables = build_model_and_vars()
+    eval_top1 = None
+    if args.weights == "trained":
+        trained, eval_top1 = train_flash_model(args)
+        if eval_top1 < 0.9:
+            print(
+                f"WARNING: held-out top1 {eval_top1:.3f} < 0.9 — the "
+                "trained-regime trace below is not meaningful", flush=True,
+            )
+        model, variables = _production_model(args.hw), _bf16_variables(
+            trained
+        )
+    else:
+        model, variables = build_model_and_vars()
     score_fn = lambda clip: model.apply(variables, clip[None], train=False)[
         0
     ].astype(jnp.float32)
@@ -130,7 +309,10 @@ def cmd_trace(args):
     carry_batch = jax.jit(jax.vmap(lambda i: make_search_carry(i, LR)))
     cast = jax.jit(lambda x: x.astype(jnp.float32))
 
-    clips_np, labels_np = make_clips(args.clips, args.batch)
+    if args.task == "flash":
+        clips_np, labels_np = make_flash_clips(args.clips, args.hw, seed=7)
+    else:
+        clips_np, labels_np = make_clips(args.clips, args.batch)
     losses = np.zeros((args.clips, args.steps), np.float32)
     scores = np.zeros((args.clips, args.steps), np.float32)
     masks = np.zeros((args.clips, args.steps, T), np.float32)
@@ -162,6 +344,9 @@ def cmd_trace(args):
         labels=labels_np,
         batch=args.batch,
         chunk=chunk,
+        task=args.task,
+        weights=args.weights,
+        eval_top1=-1.0 if eval_top1 is None else eval_top1,
     )
     print(f"trace saved to {args.out} ({time.time() - t0:.0f}s)")
 
@@ -225,6 +410,21 @@ def cmd_analyze(args):
         }
     n_segs_fixed = (n // batch) * (n_steps // 100)
     report["segments_fixed_chunk100"] = n_segs_fixed
+    if str(d.get("task", "noise")) == "flash":
+        # semantic check: on the flash task the minimal freeze mask must
+        # sit ON the flash frame t* (= the label) to erase the signal
+        labels = d["labels"]
+        top_frame = final_mask.argmax(axis=1)
+        report["flash"] = {
+            "weights": str(d.get("weights", "importer")),
+            "eval_top1": float(d.get("eval_top1", -1.0)),
+            "final_score_mean": round(float(final_score.mean()), 4),
+            "final_score_p10": round(float(np.percentile(final_score, 10)), 4),
+            "mask_argmax_hit": round(float((top_frame == labels).mean()), 4),
+            "mask_argmax_hit_pm1": round(
+                float((np.abs(top_frame - labels) <= 1).mean()), 4
+            ),
+        }
     print(json.dumps(report, indent=1))
 
 
@@ -324,6 +524,27 @@ def main():
     ap.add_argument("--eta", type=float, default=1e-5)
     ap.add_argument("--out", default="earlystop_trace.npz")
     ap.add_argument("--trace", default="earlystop_trace.npz")
+    ap.add_argument(
+        "--task", default="noise", choices=("noise", "flash"),
+        help="'flash': temporally structured clips (label = flash frame)",
+    )
+    ap.add_argument(
+        "--weights", default="importer", choices=("importer", "trained"),
+        help="'trained': train the flash task on-chip first, then trace "
+        "the search in the high-class-score regime (PERF.md r4 caveat)",
+    )
+    ap.add_argument("--hw", type=int, default=HW,
+                    help="spatial size for the flash/trained path "
+                    "(CPU smoke uses a small value)")
+    ap.add_argument("--train-steps", type=int, default=400)
+    ap.add_argument("--train-batch", type=int, default=16)
+    # tunnel economics: per-execution overhead scales with operand bytes
+    # (~30 s/GB), and the resident train set rides along on every launch —
+    # keep it small (128 uint8 clips = 300 MB) and amortize over 40 steps
+    ap.add_argument("--train-chunk", type=int, default=40)
+    ap.add_argument("--train-clips", type=int, default=128)
+    ap.add_argument("--eval-clips", type=int, default=64)
+    ap.add_argument("--train-lr", type=float, default=3e-4)
     ap.add_argument(
         "--backend", default="tpu", choices=("cpu", "tpu"),
         help="'cpu' is for smoke-testing the harness at tiny sizes",
