@@ -583,6 +583,13 @@ def find_masks(
     expensive search launches, so batch occupancy stays ~100% regardless of
     filter selectivity. Pass a dict as ``stats`` to receive launch/occupancy
     counters.
+
+    Under ``early_stop`` on the chunked path, convergence REFILL
+    (MaskConfig.refill, auto-on) additionally retires frozen rows at every
+    segment boundary and re-stages survivors into full continuation
+    batches, so search work tracks per-row stop steps instead of the
+    slowest row per batch — per-clip results identical, emission order
+    differs (retirement order).
     """
     from ivf_tpu.interpret.gradcam import i3d_grad_cam_fns
     from ivf_tpu.interpret.mask_opt import init_mask_central
@@ -860,6 +867,19 @@ def find_masks(
                 "finalize+cam", partial(epilogue, clips, targets, carry)
             )
 
+    # Convergence refill (MaskConfig.refill): only meaningful where rows can
+    # actually freeze mid-schedule — the chunked path under early_stop. Auto
+    # (None) = on exactly there; the trained-weights trace showed the batch-
+    # quantized skip alone saves nothing on long-tailed stop distributions
+    # (PERF.md round 4, EARLYSTOP_r04.json trained_flash).
+    refill_on = (
+        run_temp_mask
+        and mk.early_stop
+        and chunk < mk.opt_iter
+        and (mk.refill if mk.refill is not None else True)
+    )
+    requeues: dict = {}  # segments-done -> survivor rows awaiting a flush
+
     subset_ids = None
     if mk.subset_file:
         import csv
@@ -921,6 +941,10 @@ def find_masks(
         # analysis is not polluted by the prologue share of the fused
         # program
         "proseg1_seconds": [],
+        # refill path (MaskConfig.refill): re-staged continuation flushes
+        # launched and survivor rows re-staged across them
+        "refill_flushes": 0,
+        "refill_requeued_rows": 0,
     }
     flush_idx = [0]
     pert_cache: dict = {}
@@ -938,7 +962,10 @@ def find_masks(
             )
         return pert_cache[key]
 
-    def _run_batch(take):
+    def _stage_round1(take):
+        """Upload a staged batch and launch the prologue (+fused segment 1
+        when configured): staging rows -> device arrays + search carry. The
+        entry launch shared by the one-shot flush path and the refill path."""
         n = len(take)
         clips_np = np.stack([r[0] for r in take])
         labels_np = np.asarray([r[1] for r in take])
@@ -955,6 +982,7 @@ def find_masks(
             rng_keys = jax.random.split(
                 jax.random.PRNGKey(cfg.seed + flush_idx[0]), B
             )
+        flush_idx[0] += 1
         segs_done = 0
         if pro_seg_batch is not None:
             # fused prologue+segment-1: one GB-operand launch per flush
@@ -978,51 +1006,57 @@ def find_masks(
             )
         if outputs_arg is None:
             run_stats["score_launches"] += 1
-        outputs_np = np.asarray(outputs)[:n]
-        pred = np.argmax(outputs_np, axis=-1)
+        return (
+            n, clips_dev, labels_np, ids_k, outputs, targets, inits, carry,
+            segs_done,
+        )
 
-        res = cams = masks_np = freeze_np = reverse_np = None
+    def _emit_rows(sel, ids_k, labels_np, pred, outputs_np, clips_dev, res, cams):
+        """Result records + viz for rows ``sel`` (indices into the padded
+        batch) — the emission tail shared by the one-shot flush path
+        (sel = every real row) and the refill path (sel = the rows retiring
+        at a segment boundary). Big per-row arrays (clips, perturbed clips,
+        CAMs, masks) are gathered ON DEVICE at ``sel`` before the fetch, so
+        a partial harvest never pulls the whole GB-scale batch to host."""
+        sel_np = np.asarray(sel, np.int64)
+        sel_dev = jnp.asarray(sel_np)
+        masks_np = freeze_np = reverse_np = None
         if run_temp_mask:
-            res, cams = run_search(clips_dev, targets, inits, carry, segs_done)
-            run_stats["search_launches"] += 1
-            run_stats["searched_rows"] += n
-            run_stats["padded_rows"] += B - n
-            masks_np = np.asarray(_traced("fetch-mask", lambda: res.mask))[:n]
-            freeze_np = np.asarray(res.freeze_score)[:n]
-            reverse_np = np.asarray(res.reverse_score)[:n]
-            run_stats["n_steps_run"].extend(
-                np.asarray(res.n_steps_run)[:n].tolist()
+            masks_np = np.asarray(
+                _traced(
+                    "fetch-mask", lambda: jnp.take(res.mask, sel_dev, axis=0)
+                )
             )
-            for j in range(n):
+            freeze_np = np.asarray(res.freeze_score)[sel_np]
+            reverse_np = np.asarray(res.reverse_score)[sel_np]
+            run_stats["n_steps_run"].extend(
+                np.asarray(res.n_steps_run)[sel_np].tolist()
+            )
+            for k, j in enumerate(sel):
                 time_mask_results.append(
                     {
                         "true_class": int(labels_np[j]),
                         "pred_class": int(pred[j]),
                         "video_id": ids_k[j],
-                        "time_mask": masks_np[j],
+                        "time_mask": masks_np[k],
                         "original_score_guess": float(outputs_np[j].max()),
                         "original_score_true": float(
                             outputs_np[j][labels_np[j]]
                         ),
-                        "freeze_score": float(freeze_np[j]),
-                        "reverse_score": float(reverse_np[j]),
+                        "freeze_score": float(freeze_np[k]),
+                        "reverse_score": float(reverse_np[k]),
                     }
                 )
-        flush_idx[0] += 1
-
+        cams_np = None
         if do_gradcam:
-            if cams is None:  # no mask search ran -> standalone CAM program
-                cams = _traced(
-                    "grad-cam", partial(cam_batch, clips_dev, targets)
-                )
-            cams = np.asarray(cams)[:n]
-            for j in range(n):
+            cams_np = np.asarray(jnp.take(cams, sel_dev, axis=0))
+            for k, j in enumerate(sel):
                 grad_cam_results.append(
                     {
                         "true_class": int(labels_np[j]),
                         "pred_class": int(pred[j]),
                         "video_id": ids_k[j],
-                        "GCHeatMap": cams[j],
+                        "GCHeatMap": cams_np[k],
                     }
                 )
 
@@ -1041,32 +1075,42 @@ def find_masks(
             if do_gradcam:
                 for ptype in ("freeze", "reverse"):
                     viz_perts[ptype] = np.asarray(
-                        _pert_batch(ptype, True)(clips_dev, masks_dev)
-                    )[:n]
+                        jnp.take(
+                            _pert_batch(ptype, True)(clips_dev, masks_dev),
+                            sel_dev,
+                            axis=0,
+                        )
+                    )
             kth_pert = None
             if is_kth:
                 # KTH driver additionally renders the perturbed sequence
                 # itself (FindMasksComparison_I3D_KTH.py:362-366), unsnapped
                 kth_pert = np.asarray(
-                    _pert_batch(mk.mask_perturb_type, False)(
-                        clips_dev, masks_dev
+                    jnp.take(
+                        _pert_batch(mk.mask_perturb_type, False)(
+                            clips_dev, masks_dev
+                        ),
+                        sel_dev,
+                        axis=0,
                     )
-                )[:n]
+                )
             # clip pixels feed only the image branches — skip the fetch on
             # a txt-only flush (do_gradcam=False, non-KTH)
             clips_f32 = (
-                np.asarray(clips_dev)[:n] if (do_gradcam or is_kth) else None
+                np.asarray(jnp.take(clips_dev, sel_dev, axis=0))
+                if (do_gradcam or is_kth)
+                else None
             )
 
             # Pure-host rendering of this (already-fetched) batch; runs in
-            # the background writer so the next batch's search launches
-            # while these images write (MaskConfig.async_viz).
+            # the background writer so the next batch's device search
+            # launches while these images write (MaskConfig.async_viz).
             def _viz_job(
-                n=n,
+                sel=list(sel),
                 ids_k=ids_k,
                 labels_np=labels_np,
                 pred=pred,
-                cams=cams,
+                cams_np=cams_np,
                 masks_np=masks_np,
                 freeze_np=freeze_np,
                 reverse_np=reverse_np,
@@ -1075,7 +1119,7 @@ def find_masks(
                 clips_f32=clips_f32,
                 outputs_np=outputs_np,
             ):
-                for j in range(n):
+                for k, j in enumerate(sel):
                     tag = ids_k[j]
                     # per-clip dir carries the guess/true score suffixes the
                     # reference embeds (FindMasksComparison_I3D_smth.py:
@@ -1097,8 +1141,8 @@ def find_masks(
                     # search ran (FindMasksComparison_I3D_smth.py:229-239
                     # writes them outside the doGradCam block)
                     for nm, val in (
-                        ("Freeze", float(freeze_np[j])),
-                        ("Reverse", float(reverse_np[j])),
+                        ("Freeze", float(freeze_np[k])),
+                        ("Reverse", float(reverse_np[k])),
                     ):
                         with open(
                             os.path.join(
@@ -1110,18 +1154,18 @@ def find_masks(
                     if do_gradcam:
                         for ptype in ("freeze", "reverse"):
                             create_image_arrays(
-                                clips_f32[j],
-                                cams[j],
-                                masks_np[j],
-                                viz_perts[ptype][j],
+                                clips_f32[k],
+                                cams_np[k],
+                                masks_np[k],
+                                viz_perts[ptype][k],
                                 out_folder,
                                 case_tag=ptype + tag,
                             )
                     if is_kth:
                         visualize_results(
-                            clips_f32[j],
-                            kth_pert[j],
-                            masks_np[j],
+                            clips_f32[k],
+                            kth_pert[k],
+                            masks_np[k],
                             root_dir=out_folder,
                             case=tag,
                             mark_imgs=True,
@@ -1129,11 +1173,150 @@ def find_masks(
 
             viz_writer.submit(_viz_job)
 
+    def _run_batch(take):
+        (
+            n, clips_dev, labels_np, ids_k, outputs, targets, inits, carry,
+            segs_done,
+        ) = _stage_round1(take)
+        outputs_np = np.asarray(outputs)[:n]
+        pred = np.argmax(outputs_np, axis=-1)
+
+        res = cams = None
+        if run_temp_mask:
+            res, cams = run_search(clips_dev, targets, inits, carry, segs_done)
+            run_stats["search_launches"] += 1
+            run_stats["searched_rows"] += n
+            run_stats["padded_rows"] += B - n
+        if do_gradcam and cams is None:
+            # no mask search ran in this flush -> standalone CAM program
+            cams = _traced("grad-cam", partial(cam_batch, clips_dev, targets))
+        if run_temp_mask or do_gradcam:
+            _emit_rows(
+                list(range(n)), ids_k, labels_np, pred, outputs_np, clips_dev,
+                res, cams,
+            )
+
+    def _run_refill_flush(take, segs_done):
+        """One refill-path flush (MaskConfig.refill): ``take`` rows have
+        ``segs_done`` completed segments (0 = fresh staging rows, >0 =
+        re-staged survivors carrying their exact per-row search state).
+        Advances segments; at each boundary, rows whose early-stop flag
+        froze RETIRE through the operand-resident finalize+CAM program.
+        A boundary that mixes retired and surviving rows re-stages the
+        survivors (host uint8 clip + the exact carry slice: mask logits,
+        Adam state, loss, counters) into ``requeues[segs_done]`` to flush
+        again at full batch occupancy — total search work drops to
+        ~sum(ceil(stop_i/chunk))*chunk steps instead of batches*opt_iter.
+        Per-row math is batch-composition independent (vmapped ops, eval-
+        mode BN), so every clip's result is identical to the non-refill
+        path; only emission ORDER changes (retirement vs staging order)."""
+        if segs_done == 0:
+            (
+                n, clips_dev, labels_np, ids_k, outputs, targets, _inits,
+                carry, segs_done,
+            ) = _stage_round1(take)
+            outputs_np = np.asarray(outputs)[:n]
+            targets_np = np.asarray(targets)[:n]
+            run_stats["search_launches"] += 1
+            run_stats["searched_rows"] += n
+        else:
+            n = len(take)
+            labels_np = np.asarray([r[1] for r in take])
+            ids_k = [str(r[2]) for r in take]
+            outputs_np = np.stack([r[3] for r in take])
+            targets_np = np.asarray([r[4] for r in take])
+            clips_dev = _to_device(_pad_np(np.stack([r[0] for r in take])))
+            targets = jnp.asarray(_pad_np(targets_np))
+            carry = jax.tree.map(
+                lambda *rows: _put(_pad_np(np.stack(rows))),
+                *[r[5] for r in take],
+            )
+            run_stats["refill_flushes"] += 1
+        run_stats["padded_rows"] += B - n
+        pred = np.argmax(outputs_np, axis=-1)
+        rem_done = rem_batch is None
+        harvested = np.zeros(n, bool)
+        while True:
+            sched_done = segs_done >= n_full and rem_done
+            active_np = np.asarray(carry[3])[:n].astype(bool)
+            if sched_done:
+                active_np[:] = False
+            retiring = [
+                j for j in range(n) if not (active_np[j] or harvested[j])
+            ]
+            if retiring:
+                res, cams = _traced(
+                    "finalize+cam", partial(epilogue, clips_dev, targets, carry)
+                )
+                _emit_rows(
+                    retiring, ids_k, labels_np, pred, outputs_np, clips_dev,
+                    res, cams,
+                )
+                harvested[retiring] = True
+            if sched_done or not active_np.any():
+                return
+            if retiring:
+                # mixed boundary: survivors re-stage to run at full occupancy
+                carry_np = jax.tree.map(np.asarray, carry)
+                survivors = np.nonzero(active_np)[0]
+                q = requeues.setdefault(segs_done, [])
+                for j in survivors:
+                    q.append(
+                        (
+                            take[j][0],
+                            int(labels_np[j]),
+                            ids_k[j],
+                            outputs_np[j],
+                            int(targets_np[j]),
+                            jax.tree.map(lambda a: a[j], carry_np),
+                        )
+                    )
+                run_stats["refill_requeued_rows"] += len(survivors)
+                return
+            # no row froze at this boundary: advance a segment in place
+            t0 = time.time()
+            if segs_done < n_full:
+                carry = _traced(
+                    f"seg{segs_done + 1}",
+                    partial(seg_batch, clips_dev, targets, carry),
+                )
+                segs_done += 1
+            else:
+                carry = _traced(
+                    "segrem", partial(rem_batch, clips_dev, targets, carry)
+                )
+                rem_done = True
+            jax.block_until_ready(carry)
+            run_stats["segment_seconds"].append(round(time.time() - t0, 2))
+            run_stats["segments_launched"] += 1
+
+    def _pump_requeues(final: bool = False):
+        # ascending-round sweep, repeated while flushes cascade survivors
+        # into higher rounds; terminates because rounds are bounded by the
+        # segment schedule
+        progressed = True
+        while progressed:
+            progressed = False
+            for r in sorted(requeues):
+                q = requeues[r]
+                while len(q) >= B or (final and q):
+                    take = q[:B]
+                    del q[:B]
+                    _run_refill_flush(take, r)
+                    progressed = True
+
     def _flush_ready(final: bool = False):
         while len(ready) >= B or (final and ready):
             take = ready[:B]
             del ready[:B]
-            _run_batch(take)
+            if refill_on:
+                _run_refill_flush(take, 0)
+            else:
+                _run_batch(take)
+        if refill_on:
+            # drain any continuation queues that filled (final: all of them,
+            # padded like the staging drain)
+            _pump_requeues(final=final)
 
     def _flush_pending(final: bool = False):
         # TF drivers skip clips whose true-class probability is below the

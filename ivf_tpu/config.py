@@ -180,6 +180,21 @@ class MaskConfig:
     # ~1.4 s is compute — PERF.md round 4). False = separate prologue
     # program (the round-3 anatomy).
     fuse_prologue: bool = True
+    # Convergence refill (chunked path + early_stop only): after each
+    # search segment, rows whose early-stop flag froze RETIRE through the
+    # (operand-resident, cheap) finalize+CAM program, and the surviving
+    # rows re-stage host-side into round-r queues that flush again as FULL
+    # batches. Total search work drops from batches*opt_iter steps to
+    # ~sum(ceil(stop_i/chunk))*chunk — the only mechanism that converts
+    # early stopping into throughput when the stop-step distribution has a
+    # long tail (measured on trained weights: p50 92 / max 274 at eta=1e-5
+    # — batch-quantized skipping alone saves nothing there; PERF.md
+    # round 4, EARLYSTOP_r04.json trained_flash). Per-clip results are
+    # IDENTICAL to the non-refill path (per-row math is batch-composition
+    # independent; equality test-pinned); only the pickle's result ORDER
+    # changes (retirement order, not staging order). None = auto: on
+    # whenever early_stop runs chunked; False forces the round-3 behavior.
+    refill: Optional[bool] = None
     # Overlap per-clip viz/artifact writing (PNG triptychs, GIFs, score txt
     # files) with the next batch's device search via a single background
     # writer thread. Device programs stay on the main thread; only the

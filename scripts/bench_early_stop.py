@@ -428,7 +428,26 @@ def cmd_analyze(args):
     print(json.dumps(report, indent=1))
 
 
+class _FlashDataset:
+    """make_flash_clips as a find_masks-consumable dataset
+    (``__getitem__ -> (clip_uint8, label, clip_id)``)."""
+
+    def __init__(self, n, hw, seed=7):
+        self.clips, self.labels = make_flash_clips(n, hw, seed=seed)
+
+    def __len__(self):
+        return len(self.labels)
+
+    def __getitem__(self, i):
+        return self.clips[i], int(self.labels[i]), f"clip{i}"
+
+
 def cmd_e2e(args):
+    """Fixed-300 vs early-stop (and refill on/off) through the FULL
+    api.find_masks driver. ``--modes`` picks the measured legs;
+    ``--weights trained --task flash`` reproduces the long-tailed
+    stop-step regime where refill is the only working mechanism
+    (EARLYSTOP_r04.json trained_flash)."""
     import tempfile
 
     import jax
@@ -438,7 +457,14 @@ def cmd_e2e(args):
     from ivf_tpu.config import Config
     from ivf_tpu.data.synthetic import SyntheticClips
 
-    model, variables = build_model_and_vars()
+    eval_top1 = None
+    if args.weights == "trained":
+        trained, eval_top1 = train_flash_model(args)
+        model, variables = _production_model(args.hw), _bf16_variables(
+            trained
+        )
+    else:
+        model, variables = build_model_and_vars()
     # find_masks re-casts f32->bf16; ours already are bf16 (no-op)
     cfg = Config.from_dict(
         {
@@ -448,7 +474,7 @@ def cmd_e2e(args):
             "num_classes": NC,
             "batch_size": args.batch,
             "clip_size": T,
-            "input_spatial_size": HW,
+            "input_spatial_size": args.hw,
             "dropout": 0.0,
         }
     )
@@ -460,21 +486,30 @@ def cmd_e2e(args):
     orig_bm = api_mod.build_model
     api_mod.build_model = lambda c, softmax_override=None: model
     results = {}
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
     try:
-        ds = SyntheticClips(
-            args.clips, t=T, hw=HW, num_classes=NC, lazy=False
-        )
-        for mode in ("warm", "fixed", "early"):
-            cfg.mask.early_stop = mode == "early"
+        if args.task == "flash":
+            ds = _FlashDataset(args.clips, args.hw, seed=7)
+            warm_ds = _FlashDataset(args.batch, args.hw, seed=11)
+        else:
+            ds = SyntheticClips(
+                args.clips, t=T, hw=args.hw, num_classes=NC, lazy=False
+            )
+            warm_ds = SyntheticClips(
+                args.batch, t=T, hw=args.hw, num_classes=NC
+            )
+        for mode in ["warm"] + modes:
+            cfg.mask.early_stop = mode.startswith("early")
+            cfg.mask.refill = (
+                False if mode == "early_norefill" else None
+            )
             cfg.mask.eta = args.eta
             stats = {}
             t0 = time.time()
             tm, _ = api_mod.find_masks(
                 cfg,
                 variables,
-                dataset=ds if mode != "warm" else SyntheticClips(
-                    args.batch, t=T, hw=HW, num_classes=NC
-                ),
+                dataset=ds if mode != "warm" else warm_ds,
                 save_viz=False,
                 do_gradcam=True,
                 stats=stats,
@@ -487,30 +522,53 @@ def cmd_e2e(args):
                 "minutes": round(dt / 60, 2),
                 "masks_per_min": round(len(tm) / (dt / 60), 1),
                 "segments_launched": stats.get("segments_launched"),
+                "refill_flushes": stats.get("refill_flushes"),
+                "refill_requeued_rows": stats.get("refill_requeued_rows"),
                 "steps_run": stats.get("n_steps_run"),
-                "masks_arr": np.stack([r["time_mask"] for r in tm]),
-                "freeze": np.asarray([r["freeze_score"] for r in tm]),
+                # keyed by clip id: refill emits in RETIREMENT order, so
+                # positional stacking would compare different clips
+                "masks_by_id": {
+                    r["video_id"]: r["time_mask"] for r in tm
+                },
+                "freeze_by_id": {
+                    r["video_id"]: r["freeze_score"] for r in tm
+                },
             }
+            print(f"[{mode}] {json.dumps({k: v for k, v in results[mode].items() if not k.endswith('_by_id') and k != 'steps_run'})}", flush=True)
     finally:
         api_mod.build_model = orig_bm
-    f, e = results["fixed"], results["early"]
-    dev = float(np.abs(f.pop("masks_arr") - e.pop("masks_arr")).max())
-    dev_fs = float(np.abs(f.pop("freeze") - e.pop("freeze")).max())
-    sr = e.pop("steps_run", None) or []
-    f.pop("steps_run", None)
+    base_mode = modes[0]
+    base = results[base_mode]
+    base_masks = base.pop("masks_by_id")
+    base_freeze = base.pop("freeze_by_id")
+    base.pop("steps_run", None)
     out = {
         "batch": args.batch,
         "eta": args.eta,
         "chunk": args.chunk or "auto",
-        "fixed": f,
-        "early": e,
-        "dev_mask_max": dev,
-        "dev_freeze_score_max": dev_fs,
-        "early_steps_run": {
-            "p50": int(np.percentile(sr, 50)) if sr else None,
-            "max": int(max(sr)) if sr else None,
-        },
+        "task": args.task,
+        "weights": args.weights,
+        "eval_top1": eval_top1,
+        base_mode: base,
     }
+    for mode in modes[1:]:
+        e = results[mode]
+        ids = sorted(base_masks)
+        e_masks = e.pop("masks_by_id")
+        e_freeze = e.pop("freeze_by_id")
+        assert sorted(e_masks) == ids, "mode result sets differ"
+        dev = float(
+            max(np.abs(base_masks[i] - e_masks[i]).max() for i in ids)
+        )
+        dev_fs = float(
+            max(abs(base_freeze[i] - e_freeze[i]) for i in ids)
+        )
+        sr = e.pop("steps_run", None) or []
+        e[f"dev_mask_max_vs_{base_mode}"] = dev
+        e[f"dev_freeze_score_max_vs_{base_mode}"] = dev_fs
+        e["steps_run_p50"] = int(np.percentile(sr, 50)) if sr else None
+        e["steps_run_max"] = int(max(sr)) if sr else None
+        out[mode] = e
     print(json.dumps(out, indent=1))
 
 
@@ -545,6 +603,11 @@ def main():
     ap.add_argument("--train-clips", type=int, default=128)
     ap.add_argument("--eval-clips", type=int, default=64)
     ap.add_argument("--train-lr", type=float, default=3e-4)
+    ap.add_argument(
+        "--modes", default="fixed,early",
+        help="comma list of e2e legs: fixed | early | early_norefill "
+        "(first leg is the deviation baseline)",
+    )
     ap.add_argument(
         "--backend", default="tpu", choices=("cpu", "tpu"),
         help="'cpu' is for smoke-testing the harness at tiny sizes",
