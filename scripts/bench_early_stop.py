@@ -258,6 +258,50 @@ def train_flash_model(args, log=print):
     return trained_f32, top1
 
 
+def _trained_variables(args):
+    """Flash-task-trained f32 variables, cached on disk: ``--weights-cache``
+    (npz tree) lets the several round-5 chip runs share ONE ~15-min training
+    leg instead of re-training per run. Cache stores the held-out top1."""
+    import os
+
+    import jax
+
+    path = args.weights_cache
+    if path and os.path.exists(path):
+        d = np.load(path)
+        top1 = float(d["__top1__"])
+        tree = {}
+        for k in d.files:
+            if k == "__top1__":
+                continue
+            col, rest = k.split("/", 1)
+            node = tree.setdefault(col, {})
+            parts = rest.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = d[k]
+        print(f"loaded trained weights from {path} (top1 {top1:.3f})",
+              flush=True)
+        return tree, top1
+    trained, top1 = train_flash_model(args)
+    if path:
+        flat = {}
+
+        def _walk(node, prefix):
+            for k, v in node.items():
+                kk = f"{prefix}/{k}" if prefix else k
+                if isinstance(v, dict):
+                    _walk(v, kk)
+                else:
+                    flat[kk] = np.asarray(v)
+
+        _walk(jax.tree.map(np.asarray, trained), "")
+        flat["__top1__"] = np.float32(top1)
+        np.savez_compressed(path, **flat)
+        print(f"saved trained weights to {path}", flush=True)
+    return trained, top1
+
+
 def cmd_trace(args):
     import jax
     import jax.numpy as jnp
@@ -270,7 +314,7 @@ def cmd_trace(args):
 
     eval_top1 = None
     if args.weights == "trained":
-        trained, eval_top1 = train_flash_model(args)
+        trained, eval_top1 = _trained_variables(args)
         if eval_top1 < 0.9:
             print(
                 f"WARNING: held-out top1 {eval_top1:.3f} < 0.9 — the "
@@ -459,7 +503,7 @@ def cmd_e2e(args):
 
     eval_top1 = None
     if args.weights == "trained":
-        trained, eval_top1 = train_flash_model(args)
+        trained, eval_top1 = _trained_variables(args)
         model, variables = _production_model(args.hw), _bf16_variables(
             trained
         )
@@ -603,6 +647,11 @@ def main():
     ap.add_argument("--train-clips", type=int, default=128)
     ap.add_argument("--eval-clips", type=int, default=64)
     ap.add_argument("--train-lr", type=float, default=3e-4)
+    ap.add_argument(
+        "--weights-cache", default="",
+        help="npz path caching the flash-trained variables across runs "
+        "(empty: always retrain)",
+    )
     ap.add_argument(
         "--modes", default="fixed,early",
         help="comma list of e2e legs: fixed | early | early_norefill "
