@@ -15,6 +15,7 @@ likewise, instead of one clip at a time.
 
 from __future__ import annotations
 
+import json
 import os
 import pickle
 import time
@@ -705,7 +706,7 @@ def find_masks(
 
     prologue_batch = hot_jit(_prologue)
 
-    if mk.early_stop and mk.eta > 1e-4:
+    if mk.early_stop and mk.eta > 1e-4 and mk.eta_patience <= 1:
         import warnings
 
         warnings.warn(
@@ -713,7 +714,8 @@ def find_masks(
             "criterion fires spuriously on the flat first step at loose "
             "etas (measured: eta>=1e-3 freezes EVERY clip at step 1 with "
             "masks ~unchanged from init — PERF.md round 4). Use the "
-            "reference's eta=1e-5 or tighter.",
+            "reference's eta=1e-5 or tighter, or set eta_patience>1 "
+            "(freeze only after M consecutive sub-eta steps).",
             stacklevel=2,
         )
     search_kwargs = dict(
@@ -724,6 +726,7 @@ def find_masks(
         early_stop=mk.early_stop,
         eta=mk.eta,
         closed_form=mk.closed_form,
+        eta_patience=mk.eta_patience,
     )
     # segment length: the axon tunnel kills single executions >~1 min (a
     # batch-128 300-step search runs ~85 s), so the search there runs as
@@ -1390,6 +1393,53 @@ def find_masks(
         # drain/stop the background viz writer; on the error path, wait but
         # don't let a worker failure mask the original exception
         viz_writer.close(raise_errors=_body_ok)
+    if run_temp_mask and mk.early_stop and run_stats["n_steps_run"]:
+        # self-reported stop distribution: every synthetic-weights caveat in
+        # PERF.md says real-data distributions must come from the user's own
+        # run — so the driver prints (and persists) its own histogram and the
+        # realized segment savings vs the fixed schedule
+        sr = np.asarray(run_stats["n_steps_run"])
+        summary = {
+            "clips": int(sr.size),
+            "step_budget": int(mk.opt_iter),
+            "steps_run_p50": int(np.percentile(sr, 50)),
+            "steps_run_p90": int(np.percentile(sr, 90)),
+            "steps_run_max": int(sr.max()),
+            "steps_run_mean": round(float(sr.mean()), 1),
+            "frozen_frac": round(float((sr < mk.opt_iter).mean()), 4),
+        }
+        if chunk < mk.opt_iter:
+            per_flush = -(-mk.opt_iter // chunk)  # ceil
+            fixed_segments = run_stats["search_launches"] * per_flush
+            summary["segments_launched"] = run_stats["segments_launched"]
+            summary["segments_fixed_schedule"] = fixed_segments
+            summary["refill_flushes"] = run_stats["refill_flushes"]
+            summary["refill_requeued_rows"] = run_stats["refill_requeued_rows"]
+            seg_note = (
+                f"; segments {run_stats['segments_launched']}"
+                f"/{fixed_segments} fixed-schedule"
+                f" (refill: {run_stats['refill_flushes']} flushes,"
+                f" {run_stats['refill_requeued_rows']} re-staged rows)"
+            )
+        else:
+            seg_note = ""
+        run_stats["early_stop_summary"] = summary
+        print(
+            f"[find-masks] early-stop over {summary['clips']} clips: "
+            f"steps/clip p50 {summary['steps_run_p50']} "
+            f"p90 {summary['steps_run_p90']} max {summary['steps_run_max']} "
+            f"(budget {mk.opt_iter}, frozen {summary['frozen_frac']:.0%})"
+            f"{seg_note}",
+            flush=True,
+        )
+    if run_temp_mask or do_gradcam:
+        # history.json-style machine-readable run stats next to the pickles
+        with open(os.path.join(results_path, "search_stats.json"), "w") as f:
+            json.dump(
+                {k: v for k, v in run_stats.items() if k != "n_steps_run"},
+                f,
+                indent=1,
+            )
     if stats is not None:
         stats.update(run_stats)
 

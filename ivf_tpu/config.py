@@ -158,6 +158,14 @@ class MaskConfig:
     # fires on the flat first step); find_masks warns above 1e-4.
     eta: float = 1e-5
     early_stop: bool = False  # default stays exact reference parity
+    # Patience window for the convergence criterion: freeze a clip only
+    # after this many CONSECUTIVE sub-eta steps. 1 = the reference's
+    # intended one-shot |Δloss|<eta (exact r4 semantics). Larger values
+    # tame the one-shot criterion's two measured failure modes — spurious
+    # fires on the flat first step at loose etas, and freezes on 1-step
+    # plateaus mid-descent (trained-weights trace, PERF.md round 5) — at
+    # the cost of running ≥M-1 extra steps per clip past true convergence.
+    eta_patience: int = 1
     # freeze perturbation inside the search loop: closed-form transition
     # matrix (fast, ~1e-4 reassociation drift) vs the bit-exact scan —
     # set False for exact-parity comparison runs (interpret/perturb.py)
@@ -418,9 +426,17 @@ _OVERRIDES = [
     # intended per-clip convergence stop — see MaskConfig.early_stop
     ("--early_stop", "-estp", "mask.early_stop", int),
     ("--eta", "-eta", "mask.eta", float),
+    # consecutive sub-eta steps required to freeze a clip (default 1 =
+    # the reference's one-shot criterion — see MaskConfig.eta_patience)
+    ("--eta_patience", "-etap", "mask.eta_patience", int),
     # 0 disables the fused prologue+segment-1 program on the chunked
     # mask-search path (debug/ablation; see MaskConfig.fuse_prologue)
     ("--fuse_prologue", "-fpro", "mask.fuse_prologue", int),
+    # convergence refill compaction on the chunked early-stop path:
+    # 1=on, 0=off; unset = auto (on exactly where it can help — see
+    # MaskConfig.refill). NB refill changes the results-pickle ORDER
+    # (retirement order), never any per-clip value.
+    ("--refill", "-rfl", "mask.refill", int),
 ]
 
 
@@ -449,7 +465,9 @@ def apply_cli_overrides(cfg: Config, args: argparse.Namespace) -> Config:
         if attr == "stride_mod_layers" and isinstance(val, str):
             val = tuple(s for s in val.split(",") if s)
         current = getattr(target, attr)
-        if isinstance(current, bool):
+        if isinstance(current, bool) or attr == "refill":
+            # refill is Optional[bool] (None = auto), so the usual
+            # isinstance-on-current coercion can't see it's a bool flag
             val = bool(val)
         setattr(target, attr, val)
     return cfg

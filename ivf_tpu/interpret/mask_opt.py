@@ -123,7 +123,7 @@ def init_mask_random(key: jax.Array, t: int, dtype=jnp.float32) -> jax.Array:
 
 def _search_pieces(
     score_fn, seq, target, lam1, lam2, lr, perturbation_type,
-    early_stop, eta, closed_form,
+    early_stop, eta, closed_form, eta_patience=1,
 ):
     """Shared loss/step construction for the monolithic and the chunked
     search paths — one definition so they are the same math by construction."""
@@ -150,11 +150,17 @@ def _search_pieces(
         return total, (l1, tv, class_score)
 
     def step(carry, _):
-        logits, opt_state, old_loss, active, n_run, _ = carry
+        logits, opt_state, old_loss, active, n_run, _, streak = carry
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(logits)
         if early_stop:
-            converged = jnp.abs(old_loss - loss) < eta
-            active = active & ~converged
+            # patience window (eta_patience): freeze only after M CONSECUTIVE
+            # sub-eta steps. M=1 is exactly the reference's intended one-shot
+            # criterion (FindMasksComparison_I3D_smth.py:209); M>1 tames its
+            # measured brittleness — spurious fires on the flat first step at
+            # loose etas, and single-step plateaus mid-descent (PERF.md r4/r5)
+            sub_eta = jnp.abs(old_loss - loss) < eta
+            streak = jnp.where(sub_eta, streak + 1, 0)
+            active = active & (streak < eta_patience)
         updates, new_opt_state = opt.update(grads, opt_state, logits)
         new_logits = optax.apply_updates(logits, updates)
         logits = jnp.where(active, new_logits, logits)
@@ -164,7 +170,7 @@ def _search_pieces(
             opt_state,
         )
         n_run = n_run + active.astype(jnp.int32)
-        return (logits, opt_state, loss, active, n_run, aux), None
+        return (logits, opt_state, loss, active, n_run, aux, streak), None
 
     return opt, loss_fn, step
 
@@ -186,6 +192,7 @@ def make_search_carry(mask_init_logits: jax.Array, lr: float = 0.2):
         jnp.asarray(True),
         jnp.asarray(0, jnp.int32),
         (zero, zero, zero),  # aux placeholder (overwritten on step 1)
+        jnp.asarray(0, jnp.int32),  # consecutive sub-eta streak (patience)
     )
 
 
@@ -198,6 +205,7 @@ def make_search_carry(mask_init_logits: jax.Array, lr: float = 0.2):
         "early_stop",
         "lr",
         "closed_form",
+        "eta_patience",
     ),
 )
 def search_segment(
@@ -213,13 +221,14 @@ def search_segment(
     early_stop: bool = False,
     eta: float = 1e-5,
     closed_form: bool = True,
+    eta_patience: int = 1,
 ):
     """``n_steps`` of the mask search from ``carry`` -> new carry. Chaining
     segments is bit-identical to one long scan (the carry holds the exact
     loop state: logits, Adam state, last loss, early-stop flag, counters)."""
     _, _, step = _search_pieces(
         score_fn, seq, target, lam1, lam2, lr, perturbation_type,
-        early_stop, eta, closed_form,
+        early_stop, eta, closed_form, eta_patience,
     )
     carry, _ = jax.lax.scan(step, carry, None, length=n_steps)
     return carry
@@ -234,7 +243,7 @@ def finalize_search(
 ) -> MaskSearchResult:
     """Carry -> MaskSearchResult (mask + the reverse/orig score forwards)."""
     target = jnp.asarray(target)
-    logits, _, final_loss, _, n_run, (l1, tv, freeze_score) = carry
+    logits, _, final_loss, _, n_run, (l1, tv, freeze_score), _ = carry
     # Reported losses are the LAST IN-LOOP values — computed at the logits
     # before the final Adam step — exactly what the reference writes out
     # (FindMasksComparison_I3D_smth.py:198-239: class_loss.item() is recorded
@@ -264,6 +273,7 @@ def finalize_search(
         "early_stop",
         "lr",
         "closed_form",
+        "eta_patience",
     ),
 )
 def find_mask_from_carry(
@@ -279,6 +289,7 @@ def find_mask_from_carry(
     early_stop: bool = False,
     eta: float = 1e-5,
     closed_form: bool = True,
+    eta_patience: int = 1,
 ) -> MaskSearchResult:
     """Full search + finalize starting from an EXISTING carry (a
     ``make_search_carry`` result, possibly already advanced by segments).
@@ -288,13 +299,13 @@ def find_mask_from_carry(
     target = jnp.asarray(target)
     _, loss_fn, step = _search_pieces(
         score_fn, seq, target, lam1, lam2, lr, perturbation_type,
-        early_stop, eta, closed_form,
+        early_stop, eta, closed_form, eta_patience,
     )
     carry, _ = jax.lax.scan(step, carry, None, length=n_steps)
     if n_steps == 0:  # degenerate: report metrics at the (unstepped) logits
-        logits, opt_state, _, active, n_run, _ = carry
+        logits, opt_state, _, active, n_run, _, streak = carry
         final_loss, aux = loss_fn(carry[0])
-        carry = (logits, opt_state, final_loss, active, n_run, aux)
+        carry = (logits, opt_state, final_loss, active, n_run, aux, streak)
     return finalize_search(score_fn, seq, target, carry)
 
 
@@ -307,6 +318,7 @@ def find_mask_from_carry(
         "early_stop",
         "lr",
         "closed_form",
+        "eta_patience",
     ),
 )
 def find_mask(
@@ -322,6 +334,7 @@ def find_mask(
     early_stop: bool = False,
     eta: float = 1e-5,
     closed_form: bool = True,
+    eta_patience: int = 1,
 ) -> MaskSearchResult:
     """Optimize a temporal mask for one clip (vmap over clips for batches).
 
@@ -342,6 +355,7 @@ def find_mask(
         early_stop=early_stop,
         eta=eta,
         closed_form=closed_form,
+        eta_patience=eta_patience,
     )
 
 

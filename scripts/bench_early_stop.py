@@ -35,6 +35,7 @@ Usage:
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -341,7 +342,7 @@ def cmd_trace(args):
 
         def rec_step(c, _):
             c, _ = step(c, None)
-            logits, _, loss, _, _, (_l1, _tv, score) = c
+            logits, _, loss, _, _, (_l1, _tv, score), _ = c
             return c, (loss, score, jax.nn.sigmoid(logits))
 
         return jax.lax.scan(rec_step, carry, None, length=chunk)
@@ -454,6 +455,44 @@ def cmd_analyze(args):
         }
     n_segs_fixed = (n // batch) * (n_steps // 100)
     report["segments_fixed_chunk100"] = n_segs_fixed
+    # Patience grid (MaskConfig.eta_patience): freeze only after M
+    # CONSECUTIVE sub-eta deltas — a length-M all-True window of `fired`
+    # over indices j0..j0+M-1 means the streak hits M at step j0+M. Derived
+    # host-side from the SAME trace (deltas) the production step function
+    # thresholds, so these are the exact stops the driver would realize.
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    rows = np.arange(n)
+    report["patience"] = {}
+    for eta in ETAS:
+        fired = deltas < eta
+        for M in (1, 3, 5):
+            if M > fired.shape[1]:
+                continue
+            win = sliding_window_view(fired, M, axis=1).all(axis=-1)
+            any_fire = win.any(axis=1)
+            stop = np.where(any_fire, np.argmax(win, axis=1) + M, n_steps)
+            idx = np.minimum(stop, n_steps - 1)
+            dev_mask = np.where(
+                any_fire,
+                np.abs(masks[rows, idx - 1] - final_mask).max(axis=1),
+                0.0,
+            )
+            dev_score = np.where(
+                any_fire, np.abs(scores[rows, idx] - final_score), 0.0
+            )
+            report["patience"][f"eta{eta:g}_M{M}"] = {
+                "frozen_frac": round(float(any_fire.mean()), 4),
+                "stop_p50": int(np.percentile(stop, 50)),
+                "stop_p90": int(np.percentile(stop, 90)),
+                "stop_max": int(stop.max()),
+                "stop_mean": round(float(stop.mean()), 1),
+                "refill_speedup_bound": round(
+                    n_steps / float(stop.mean()), 2
+                ),
+                "dev_mask_max": float(f"{dev_mask.max():.3e}"),
+                "dev_freeze_score_max": float(f"{dev_score.max():.3e}"),
+            }
     if str(d.get("task", "noise")) == "flash":
         # semantic check: on the flash task the minimal freeze mask must
         # sit ON the flash frame t* (= the label) to erase the signal
@@ -614,6 +653,34 @@ def cmd_e2e(args):
         e["steps_run_max"] = int(max(sr)) if sr else None
         out[mode] = e
     print(json.dumps(out, indent=1))
+    # Persist the production-config leg for bench.py's driver-level
+    # secondary (driver_masks_metrics): 'early' is the fast mode with
+    # refill auto-on — the figure the north-star target is written in.
+    if "early" in results and args.hw == HW and args.steps == 300:
+        cache = {
+            "driver_masks_per_min_chip": results["early"]["masks_per_min"],
+            "driver_provenance": (
+                f"scripts/bench_early_stop.py e2e --task {args.task} "
+                f"--weights {args.weights} --clips {args.clips} "
+                f"--eta {args.eta:g} (early_stop + refill auto, production "
+                "batch 128 / 300-step budget / Grad-CAM on), measured "
+                f"{time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())}"
+            ),
+            "driver_stats": {
+                k: results["early"][k]
+                for k in (
+                    "masks", "minutes", "segments_launched",
+                    "refill_flushes", "refill_requeued_rows",
+                )
+            },
+        }
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "driver_masks_cache.json",
+        )
+        with open(path, "w") as f:
+            json.dump(cache, f, indent=1)
+        print(f"driver-level cache written to {path}", flush=True)
 
 
 def main():

@@ -211,13 +211,20 @@ def test_iteration_suffix_and_train_split_flags():
 
     parser = argparse.ArgumentParser()
     add_cli_overrides(parser)
-    args = parser.parse_args(["-i", "3", "-l1", "0.5", "-fpro", "0"])
+    args = parser.parse_args(
+        ["-i", "3", "-l1", "0.5", "-fpro", "0", "-rfl", "0", "-etap", "3"]
+    )
     cfg = Config()
     base = cfg.model_name
     cfg = apply_cli_overrides(cfg, args)
     assert cfg.model_name == base + "3"
     assert cfg.mask.lam1 == 0.5
     assert cfg.mask.fuse_prologue is False  # int 0 -> bool coercion
+    # refill is Optional[bool] (None=auto): the CLI int must coerce to a
+    # real bool so `refill is not None` distinguishes forced-off from auto
+    assert cfg.mask.refill is False
+    assert cfg.mask.eta_patience == 3
+    assert Config().mask.refill is None  # untouched default stays auto
 
     assert inspect.signature(find_masks).parameters["split"].default == "validation"
 

@@ -323,6 +323,67 @@ def test_find_mask_early_stop_freezes_updates():
     assert int(res.n_steps_run) < 50
 
 
+def test_eta_patience_constant_loss_runs_exactly_m_steps():
+    """eta_patience=M freezes only after M CONSECUTIVE sub-eta steps. With a
+    constant score_fn and lam1=lam2=0 the loss delta is exactly 0 from step 2
+    onward (step 1's delta vs the 999999 init sentinel is huge), so the
+    streak reaches M at step M+1 and n_steps_run == M exactly. M=1 is the
+    reference's intended one-shot criterion
+    (FindMasksComparison_I3D_smth.py:209)."""
+    t = 8
+    seq = jnp.asarray(_rand_seq(t=t, seed=3))
+    score = lambda clip: jnp.full((3,), 1.0 / 3.0, jnp.float32)
+    init = jnp.asarray(
+        np.where(np.arange(t) % 2 == 0, 1.0, -1.0), jnp.float32
+    )
+    for m in (1, 3, 5):
+        res = find_mask(
+            score, seq, 0, init, n_steps=20, lam1=0.0, lam2=0.0,
+            early_stop=True, eta=1e-6, eta_patience=m,
+        )
+        assert int(res.n_steps_run) == m, (m, int(res.n_steps_run))
+    # patience longer than the budget: the clip never freezes
+    res = find_mask(
+        score, seq, 0, init, n_steps=4, lam1=0.0, lam2=0.0,
+        early_stop=True, eta=1e-6, eta_patience=10,
+    )
+    assert int(res.n_steps_run) == 4
+
+
+def test_eta_patience_chunked_bit_identical_and_monotone():
+    """The patience streak lives in the search carry, so segmented execution
+    (the chunked api.find_masks path) is bit-identical to the monolithic
+    search at any eta_patience; and a larger patience can only stop later."""
+    from ivf_tpu.interpret.mask_opt import (
+        finalize_search,
+        make_search_carry,
+        search_segment,
+    )
+
+    t = 8
+    seq = jnp.asarray(_rand_seq(t=t, seed=9))
+    score_jax, _ = _make_score_pair(t=t)
+    init = jnp.asarray(
+        np.where(np.arange(t) % 2 == 0, 1.0, -1.0), jnp.float32
+    )
+    kw = dict(early_stop=True, eta=1e-2, eta_patience=3)
+    mono = find_mask(score_jax, seq, 0, init, n_steps=50, **kw)
+    assert int(mono.n_steps_run) < 50  # it actually froze
+
+    carry = make_search_carry(init)
+    for n in (20, 20, 10):
+        carry = search_segment(score_jax, seq, 0, carry, n_steps=n, **kw)
+    seg = finalize_search(score_jax, seq, 0, carry)
+    for a, b in zip(mono, seg):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    one_shot = find_mask(
+        score_jax, seq, 0, init, n_steps=50,
+        early_stop=True, eta=1e-2, eta_patience=1,
+    )
+    assert int(one_shot.n_steps_run) <= int(mono.n_steps_run)
+
+
 @pytest.mark.slow
 def test_find_mask_batched_vmap():
     t, b = 8, 4
