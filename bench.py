@@ -233,7 +233,106 @@ def main():
         except OSError:
             sec = {"inference_detail_skipped": "no live run and no cache"}
     details.update(sec)
+    details.update(driver_masks_metrics(t_start))
     print(json.dumps(details), file=sys.stderr, flush=True)
+
+
+def driver_masks_metrics(t_start: float) -> dict:
+    """PRODUCTION-DRIVER throughput (VERDICT r4 #2): masks/min/chip through
+    ``api.find_masks`` itself (compaction + fused prologue + early-stop +
+    refill + Grad-CAM), so the artifact carries the number the north-star
+    target is written in, next to the raw-step extrapolation above (which
+    ignores the driver's anatomy — prologue, finalize, launch overheads,
+    early-stop savings).
+
+    The driver leg needs its own compiles plus a warm flush (~15+ min
+    through the axon tunnel), far past the bench window — so by default the
+    number comes from the persisted measurement that
+    ``scripts/bench_early_stop.py e2e`` writes (driver_masks_cache.json,
+    provenance-marked, measured on this same chip by the production
+    driver). Set IVF_BENCH_DRIVER_LEG=1 to force a live leg (sized for
+    untunneled TPU where compiles are local)."""
+    import os
+    import tempfile
+
+    cache_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "driver_masks_cache.json"
+    )
+    out: dict = {}
+    if os.environ.get("IVF_BENCH_DRIVER_LEG") == "1":
+        try:
+            import ivf_tpu.api as api_mod
+            from ivf_tpu.config import Config
+            from ivf_tpu.data.synthetic import SyntheticClips
+
+            cfg = Config.from_dict(
+                {
+                    "model_name": "bench_driver",
+                    "output_dir": tempfile.mkdtemp(),
+                    "conv_model": "i3d_smth",
+                    "num_classes": 174,
+                    "batch_size": 128,
+                    "clip_size": 16,
+                    "input_spatial_size": 224,
+                    "dropout": 0.0,
+                }
+            )
+            cfg.model.compute_dtype = "bfloat16"
+            cfg.model.pool_impl = "argmax"
+            cfg.mask.opt_iter = 300
+            cfg.mask.early_stop = True
+            cfg.mask.eta = 1e-5
+            model = api_mod.build_model(cfg, softmax_override=True)
+            variables = jax.jit(model.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 16, 224, 224, 3))
+            )  # f32 init — find_masks re-casts per cfg.model.compute_dtype
+            # warm leg compiles every program; measured leg is steady state
+            for tag, n in (("warm", 128), ("measured", 256)):
+                ds = SyntheticClips(
+                    n, t=16, hw=224, num_classes=174, lazy=False,
+                    seed=0 if tag == "warm" else 1,
+                )
+                st: dict = {}
+                t0 = time.time()
+                tm, _ = api_mod.find_masks(
+                    cfg, variables, dataset=ds, save_viz=False,
+                    do_gradcam=True, stats=st,
+                )
+                dt = time.time() - t0
+            mpm = len(tm) / (dt / 60)
+            out = {
+                "driver_masks_per_min_chip": round(mpm, 1),
+                "driver_provenance": "live bench leg (IVF_BENCH_DRIVER_LEG)",
+                "driver_stats": {
+                    k: st[k]
+                    for k in (
+                        "segments_launched", "refill_flushes",
+                        "refill_requeued_rows",
+                    )
+                },
+            }
+        except Exception as e:  # noqa: BLE001 — secondaries never fail bench
+            out = {"driver_leg_error": f"{type(e).__name__}: {e}"[:200]}
+    if "driver_masks_per_min_chip" not in out:
+        try:
+            with open(cache_path) as f:
+                out = json.load(f)
+            out["driver_cached"] = True
+        except OSError:
+            return {
+                "driver_masks_note": (
+                    "no live driver leg and no driver_masks_cache.json — run "
+                    "scripts/bench_early_stop.py e2e to produce one"
+                )
+            }
+    mpm = out.get("driver_masks_per_min_chip")
+    if mpm:
+        # BASELINE.md north star restated in driver units: 24,777 val clips
+        # over 8 clip-parallel chips at the measured per-chip driver rate
+        out["extrapolated_v5e8_full_smth_val_minutes_driver"] = round(
+            24777 / (8 * mpm), 1
+        )
+    return out
 
 
 def inference_throughput():
