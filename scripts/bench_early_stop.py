@@ -100,6 +100,58 @@ def build_model_and_vars():
     return _production_model(), _bf16_variables(_importer_variables())
 
 
+def _fam_geom(args):
+    """(t, h, w, nc) for ``--family``. The ConvLSTM family uses the TF KTH
+    mask driver's geometry (find_mask_kth.py: 32x120x160); ``--hw`` below
+    the production 224 scales it down keeping the 3:4 aspect (CPU smoke),
+    and ``--t`` overrides the clip length. Flash labels are frame indices
+    1..t-1, so nc = t for the ConvLSTM flash head."""
+    if args.family == "i3d":
+        return (args.t or T), args.hw, args.hw, NC
+    t = args.t or 32
+    h, w = (120, 160) if args.hw == HW else (args.hw, args.hw * 4 // 3)
+    return t, h, w, t
+
+
+def _clstm_flash_cfg(args, outdir):
+    """The production TF-family KTH ConvLSTM config (the repo's own
+    config_clstm_kth_records.py preset = the reference TF flag config:
+    layers [32,32] kernel (3,5) stride 2, valid padding, block_order='tf'
+    hard-sigmoid Keras cell, lam1 0.02 lam2 0.04, optIter 100, min_score
+    0.1) with the flash-task head (num_classes = clip length) on top."""
+    import importlib.util
+
+    from ivf_tpu.config import Config
+
+    spec = importlib.util.spec_from_file_location(
+        "_cfg_clstm_kth_records",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "configs",
+            "config_clstm_kth_records.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    t, h, w, nc = _fam_geom(args)
+    d = dict(mod.config)
+    d.update(
+        model_name="bench_earlystop_clstm",
+        output_dir=outdir,
+        num_classes=nc,
+        batch_size=args.batch,
+        clip_size=t,
+        input_spatial_size=(h, w),
+        dropout=0.0,
+    )
+    if t != 32:  # CPU smoke at short t: clip-quarter effective steps
+        d["effective_steps"] = tuple(t // 4 * i - 1 for i in range(1, 5))
+    cfg = Config.from_dict(d)
+    cfg.model.compute_dtype = "bfloat16"
+    cfg.mask.opt_iter = args.steps
+    return cfg
+
+
 def make_clips(n, batch, seed=0):
     """Uncorrelated uint8 clips + round-robin labels, production cast."""
     from ivf_tpu.data.synthetic import SyntheticClips
@@ -110,7 +162,7 @@ def make_clips(n, batch, seed=0):
     return clips, labels
 
 
-def make_flash_clips(n, hw=HW, seed=0):
+def make_flash_clips(n, hw=HW, seed=0, t=0, h=0, w=0):
     """Temporally STRUCTURED clips: uniform noise plus one bright square
     'flash' in exactly one frame t*; the label IS t*. This gives the mask
     search a real, temporally localized class signal (the freeze
@@ -118,13 +170,17 @@ def make_flash_clips(n, hw=HW, seed=0):
     model trained on this task reproduces the high-class-score regime the
     importer-weights trace can't reach. t* is drawn from 1..T-1 — frame 0
     cannot be frozen away (the freeze recursion keeps u_0 = v_0,
-    interpret/perturb.py), so label 0 would be degenerate."""
+    interpret/perturb.py), so label 0 would be degenerate. ``t``/``h``/``w``
+    generalize to the non-square ConvLSTM/KTH geometry (h=w=hw default
+    keeps the I3D clips bit-identical to the round-4 ones)."""
     rng = np.random.default_rng(seed)
-    clips = rng.integers(0, 256, (n, T, hw, hw, 3), dtype=np.uint8)
-    labels = rng.integers(1, T, n, dtype=np.int32)
-    c0, side = hw // 2 - hw // 6, hw // 3
+    t, h, w = t or T, h or hw, w or hw
+    clips = rng.integers(0, 256, (n, t, h, w, 3), dtype=np.uint8)
+    labels = rng.integers(1, t, n, dtype=np.int32)
+    side = min(h, w) // 3
+    r0, c0 = h // 2 - h // 6, w // 2 - w // 6
     for i in range(n):
-        clips[i, labels[i], c0 : c0 + side, c0 : c0 + side, :] = 255
+        clips[i, labels[i], r0 : r0 + side, c0 : c0 + side, :] = 255
     return clips, labels
 
 
@@ -149,18 +205,45 @@ def train_flash_model(args, log=print):
     from ivf_tpu.train.metrics import topk_accuracy
 
     hw = args.hw
-    model = i3d_smth(
-        num_classes=NC, dropout_rate=0.0, softmax=False,
-        stem_s2d=True, fold_bn=True, fuse_1x1=True,
-        pool_shape=_pool_shape(hw),
-    )  # fold/fuse are inert under train=True (layers.py:102,203)
-    variables = _importer_variables()
+    t, h, w, nc = _fam_geom(args)
+    if args.family == "convlstm":
+        import tempfile
+
+        from ivf_tpu.api import build_model
+
+        cfg = _clstm_flash_cfg(args, tempfile.mkdtemp())
+        model = build_model(cfg, softmax_override=False)
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, t, h, w, 3), jnp.float32)
+        )
+        # the loaders ship RAW 0..255 clips (data/loaders.py — no load-time
+        # normalization, reference parity), so a from-scratch fan-in init
+        # saturates every gate (conv(x) pre-activations ~O(100)); rescale
+        # the INPUT convs (wx with cin=3) by 1/255 at init — a trainer-side
+        # init choice, the production graph is untouched
+        variables = {
+            **variables,
+            "params": jax.tree_util.tree_map_with_path(
+                lambda p, a: a / 255.0
+                if getattr(p[-1], "key", None) == "wx"
+                and a.ndim == 4 and a.shape[-2] == 3
+                else a,
+                variables["params"],
+            ),
+        }
+    else:
+        model = i3d_smth(
+            num_classes=NC, dropout_rate=0.0, softmax=False,
+            stem_s2d=True, fold_bn=True, fuse_1x1=True,
+            pool_shape=_pool_shape(hw),
+        )  # fold/fuse are inert under train=True (layers.py:102,203)
+        variables = _importer_variables()
     params, stats = variables["params"], variables["batch_stats"]
     tx = optax.adam(args.train_lr)
     opt_state = tx.init(params)
 
     clips_np, labels_np = make_flash_clips(
-        args.train_clips + args.eval_clips, hw, seed=1
+        args.train_clips + args.eval_clips, hw, seed=1, t=t, h=h, w=w
     )
     tr_clips = jnp.asarray(clips_np[: args.train_clips])  # device uint8
     tr_labels = jnp.asarray(labels_np[: args.train_clips])
@@ -237,7 +320,9 @@ def train_flash_model(args, log=print):
         )
 
     trained = {"params": params, "batch_stats": stats}
-    eval_model = _production_model(hw)
+    # eval through the production transforms (I3D fold/fuse are inert in
+    # the trainer, live here); the CLSTM model has no such transforms
+    eval_model = model if args.family == "convlstm" else _production_model(hw)
     fwd = jax.jit(
         lambda v, c: eval_model.apply(v, c, train=False).argmax(-1)
     )
@@ -304,6 +389,9 @@ def _trained_variables(args):
 
 
 def cmd_trace(args):
+    assert args.family == "i3d", (
+        "trace/analyze are I3D-only; the ConvLSTM family has e2e legs"
+    )
     import jax
     import jax.numpy as jnp
 
@@ -515,8 +603,10 @@ class _FlashDataset:
     """make_flash_clips as a find_masks-consumable dataset
     (``__getitem__ -> (clip_uint8, label, clip_id)``)."""
 
-    def __init__(self, n, hw, seed=7):
-        self.clips, self.labels = make_flash_clips(n, hw, seed=seed)
+    def __init__(self, n, hw, seed=7, t=0, h=0, w=0):
+        self.clips, self.labels = make_flash_clips(
+            n, hw, seed=seed, t=t, h=h, w=w
+        )
 
     def __len__(self):
         return len(self.labels)
@@ -541,39 +631,55 @@ def cmd_e2e(args):
     from ivf_tpu.data.synthetic import SyntheticClips
 
     eval_top1 = None
-    if args.weights == "trained":
-        trained, eval_top1 = _trained_variables(args)
-        model, variables = _production_model(args.hw), _bf16_variables(
-            trained
+    ft, fh, fw, fnc = _fam_geom(args)
+    if args.family == "convlstm":
+        # the ConvLSTM/KTH family builds natively from the production TF
+        # preset config — no build_model monkeypatch needed (the I3D leg
+        # patches only to inject the runtime-transform flags)
+        assert args.weights == "trained" and args.task == "flash", (
+            "--family convlstm supports the trained-flash regime only "
+            "(no importer checkpoint exists for the CLSTM family)"
         )
+        trained, eval_top1 = _trained_variables(args)
+        model, variables = None, _bf16_variables(trained)
+        cfg = _clstm_flash_cfg(args, tempfile.mkdtemp())
     else:
-        model, variables = build_model_and_vars()
-    # find_masks re-casts f32->bf16; ours already are bf16 (no-op)
-    cfg = Config.from_dict(
-        {
-            "model_name": "bench_earlystop",
-            "output_dir": tempfile.mkdtemp(),
-            "conv_model": "i3d_smth",
-            "num_classes": NC,
-            "batch_size": args.batch,
-            "clip_size": T,
-            "input_spatial_size": args.hw,
-            "dropout": 0.0,
-        }
-    )
-    cfg.mask.opt_iter = args.steps
-    cfg.model.compute_dtype = "bfloat16"
-    cfg.model.pool_impl = "argmax"
+        if args.weights == "trained":
+            trained, eval_top1 = _trained_variables(args)
+            model, variables = _production_model(args.hw), _bf16_variables(
+                trained
+            )
+        else:
+            model, variables = build_model_and_vars()
+        # find_masks re-casts f32->bf16; ours already are bf16 (no-op)
+        cfg = Config.from_dict(
+            {
+                "model_name": "bench_earlystop",
+                "output_dir": tempfile.mkdtemp(),
+                "conv_model": "i3d_smth",
+                "num_classes": NC,
+                "batch_size": args.batch,
+                "clip_size": T,
+                "input_spatial_size": args.hw,
+                "dropout": 0.0,
+            }
+        )
+        cfg.mask.opt_iter = args.steps
+        cfg.model.compute_dtype = "bfloat16"
+        cfg.model.pool_impl = "argmax"
     if args.chunk:
         cfg.mask.chunk_steps = args.chunk
     orig_bm = api_mod.build_model
-    api_mod.build_model = lambda c, softmax_override=None: model
+    if model is not None:
+        api_mod.build_model = lambda c, softmax_override=None: model
     results = {}
     modes = [m.strip() for m in args.modes.split(",") if m.strip()]
     try:
         if args.task == "flash":
-            ds = _FlashDataset(args.clips, args.hw, seed=7)
-            warm_ds = _FlashDataset(args.batch, args.hw, seed=11)
+            ds = _FlashDataset(args.clips, args.hw, seed=7, t=ft, h=fh, w=fw)
+            warm_ds = _FlashDataset(
+                args.batch, args.hw, seed=11, t=ft, h=fh, w=fw
+            )
         else:
             ds = SyntheticClips(
                 args.clips, t=T, hw=args.hw, num_classes=NC, lazy=False
@@ -656,7 +762,12 @@ def cmd_e2e(args):
     # Persist the production-config leg for bench.py's driver-level
     # secondary (driver_masks_metrics): 'early' is the fast mode with
     # refill auto-on — the figure the north-star target is written in.
-    if "early" in results and args.hw == HW and args.steps == 300:
+    if (
+        "early" in results
+        and args.family == "i3d"
+        and args.hw == HW
+        and args.steps == 300
+    ):
         cache = {
             "driver_masks_per_min_chip": results["early"]["masks_per_min"],
             "driver_provenance": (
@@ -687,8 +798,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("phase", choices=("trace", "analyze", "e2e"))
     ap.add_argument("--clips", type=int, default=256)
+    ap.add_argument(
+        "--family", default="i3d", choices=("i3d", "convlstm"),
+        help="'convlstm': the TF KTH mask driver's workload (32x120x160 "
+        "ConvLSTM, 100-step budget — find_mask_kth.py); trained-flash only",
+    )
+    ap.add_argument(
+        "--t", type=int, default=0,
+        help="clip length override (0 = family default; CPU smoke)",
+    )
     ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument(
+        "--steps", type=int, default=0,
+        help="search budget (0 = family default: 300 smth / 100 KTH per "
+        "the reference drivers)",
+    )
     ap.add_argument("--chunk", type=int, default=0)
     ap.add_argument("--eta", type=float, default=1e-5)
     ap.add_argument("--out", default="earlystop_trace.npz")
@@ -729,6 +853,11 @@ def main():
         help="'cpu' is for smoke-testing the harness at tiny sizes",
     )
     args = ap.parse_args()
+    if not args.steps:
+        # the reference budgets: 300 Adam steps/clip on smth
+        # (FindMasksComparison_I3D_smth.py:115-119), 100 on KTH
+        # (find_mask_kth.py / config_train_kth_clstm.py optIter)
+        args.steps = 100 if args.family == "convlstm" else 300
     if args.backend == "cpu":
         import jax
 
