@@ -669,6 +669,7 @@ def cmd_e2e(args):
         cfg.model.pool_impl = "argmax"
     if args.chunk:
         cfg.mask.chunk_steps = args.chunk
+    cfg.mask.eta_patience = args.eta_patience
     orig_bm = api_mod.build_model
     if model is not None:
         api_mod.build_model = lambda c, softmax_override=None: model
@@ -773,7 +774,8 @@ def cmd_e2e(args):
             "driver_provenance": (
                 f"scripts/bench_early_stop.py e2e --task {args.task} "
                 f"--weights {args.weights} --clips {args.clips} "
-                f"--eta {args.eta:g} (early_stop + refill auto, production "
+                f"--eta {args.eta:g} --eta-patience {args.eta_patience} "
+                "(early_stop + refill auto, production "
                 "batch 128 / 300-step budget / Grad-CAM on), measured "
                 f"{time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())}"
             ),
@@ -815,6 +817,11 @@ def main():
     )
     ap.add_argument("--chunk", type=int, default=0)
     ap.add_argument("--eta", type=float, default=1e-5)
+    ap.add_argument(
+        "--eta-patience", type=int, default=1,
+        help="freeze after M consecutive sub-eta steps (e2e legs; 1 = the "
+        "reference's one-shot criterion — MaskConfig.eta_patience)",
+    )
     ap.add_argument("--out", default="earlystop_trace.npz")
     ap.add_argument("--trace", default="earlystop_trace.npz")
     ap.add_argument(
