@@ -88,8 +88,9 @@ class ModelConfig:
     # 'argmax_full' (argmax incl. strided trunk pools) |
     # 'argmax_shift' (argmax branch pools + shift-chain trunk pools)
     # — see PERF.md for per-impl chip measurements
-    fuse_pool_conv: bool = False  # I3D Inception branch-3 pool+1x1conv
-    # as one Pallas kernel per direction (inference/mask search only)
+    fuse_pool_conv: object = False  # I3D Inception branch-3 pool+1x1conv
+    # as one Pallas kernel per direction (inference/mask search only);
+    # True = per-frame grid, 'tblock' = whole-T frame-block grid (round 5)
     # Keras-ConvLSTM2D cell fidelity knobs for the TF model family
     # (video_features_tf/models/clstm.py:9-51): hard-sigmoid recurrent
     # activation and L2 kernel regularization feeding the training loss.

@@ -89,8 +89,9 @@ class I3D(nn.Module):
     # the XLA path in PERF.md — off by default where XLA wins
     pallas_pool: bool = False  # Inception branch-3 pools via the Pallas
     # maxpool fwd/bwd kernels (see models/layers.py + PERF.md)
-    fuse_pool_conv: bool = False  # whole Inception branch 3 (pool + folded
-    # 1x1x1 conv + ReLU) as one Pallas kernel each way (models/layers.py)
+    fuse_pool_conv: object = False  # whole Inception branch 3 (pool + folded
+    # 1x1x1 conv + ReLU) as one Pallas kernel each way (models/layers.py);
+    # True = per-frame grid, 'tblock' = whole-T frame-block grid (round 5)
     pool_impl: str = "reduce_window"  # 'shift': all maxpools as separable
     # shifted-slice max chains (elementwise-select VJP, no
     # select_and_scatter; tie-gradient deviation documented in ops/conv.py)

@@ -175,10 +175,12 @@ class InceptionModule(nn.Module):
     pool_impl: str = "reduce_window"  # 'shift': branch-3 pool as a
     # separable shifted-slice max chain — elementwise-select VJP instead of
     # XLA select_and_scatter (see ops/conv.py::max_pool3d_same)
-    fuse_pool_conv: bool = False  # whole branch 3 (pool + folded-BN 1x1x1
-    # conv + bias + ReLU) as ONE Pallas kernel fwd and ONE bwd
+    fuse_pool_conv: object = False  # whole branch 3 (pool + folded-BN
+    # 1x1x1 conv + bias + ReLU) as ONE Pallas kernel fwd and ONE bwd
     # (ops/pallas/fused_branch3.py): the pooled tensor never round-trips
     # HBM and select_and_scatter+conv-transpose collapse into one kernel.
+    # True: per-(b, t) grid (each frame read 3x fwd / 5x bwd);
+    # 'tblock': whole-T frame-block grid (round 5 — each frame read once).
     # Same tie-semantics note as pallas_pool. Inference/mask-search only
     # (requires folded BN); falls back when folding conditions don't hold
 
@@ -255,15 +257,18 @@ class InceptionModule(nn.Module):
             name="b3b",
         )
         if self.fuse_pool_conv and fusing:
-            from ivf_tpu.ops.pallas.fused_branch3 import fused_pool_conv
+            from ivf_tpu.ops.pallas import fused_branch3
 
+            fused = (
+                fused_branch3.fused_pool_conv_tblock
+                if self.fuse_pool_conv == "tblock"
+                else fused_branch3.fused_pool_conv
+            )
             k3, c3 = b3b(
                 jnp.zeros((1, 1, 1, 1, x.shape[-1]), x.dtype),
                 return_folded=True,
             )
-            b3 = fused_pool_conv(
-                x, k3.reshape(x.shape[-1], oc[5]), c3, True
-            )
+            b3 = fused(x, k3.reshape(x.shape[-1], oc[5]), c3, True)
         else:
             if self.pallas_pool:
                 from ivf_tpu.ops.pallas.maxpool3d import pallas_maxpool3d_s1

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ivf_tpu.ops.pallas.maxpool3d import _eq, _gather9, _hw_max9
+from ivf_tpu.ops.pallas.maxpool3d import _eq, _gather9, _hw_max9, _shift
 
 _LANES = 128
 
@@ -137,7 +137,7 @@ def _frame_spec(h, w, t_dim, dt, lanes):
 
 def _full_spec(shape):
     return pl.BlockSpec(
-        shape, lambda b, t: (0,) * len(shape), memory_space=pltpu.VMEM
+        shape, lambda *grid: (0,) * len(shape), memory_space=pltpu.VMEM
     )
 
 
@@ -248,3 +248,179 @@ def _vjp_bwd(relu, res, g):
 
 
 fused_pool_conv.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-T frame-block variant (round 5). The per-(b, t) grid above reads
+# each input frame 3x in the forward (t-1/t/t+1 BlockSpecs) and 5x in the
+# backward; the round-5 isolation probe (scripts/bench_branch3_probe.py)
+# showed the re-reads — not the kernel body — are the gap to XLA. After the
+# I3D stem every branch-3 site has T <= 8 and H, W <= 28 (I3D_doubled.py
+# trunk geometry), so a WHOLE (T, H, W, C) sample is <= 3.2 MB — it fits in
+# VMEM outright. This variant grids over (B,) forward / (B, Cin-block)
+# backward and reads x / y / g exactly ONCE each; temporal zero-padded SAME
+# falls out of `_shift`'s zero fill, no border masking needed.
+# ---------------------------------------------------------------------------
+
+
+def _thw_pool(x):
+    """Zero-padded SAME 3x3x3 stride-1 maxpool of a whole (T, H, W, C)
+    block: separable shift-max on H/W then the temporal 3-max. Zero fill
+    at every border IS the zero-padding semantics (F.pad + MaxPool3d,
+    I3D_doubled.py:18-38)."""
+    v = x
+    for axis in (1, 2, 0):
+        v = jnp.maximum(
+            jnp.maximum(v, _shift(v, 1, axis)), _shift(v, -1, axis)
+        )
+    return v
+
+
+def _fwd_kernel_tb(x_ref, w_ref, b_ref, o_ref, *, relu):
+    p = _thw_pool(x_ref[0])
+    t, h, wd, cin = p.shape
+    y = jnp.dot(
+        p.reshape(t * h * wd, cin),
+        w_ref[:],
+        preferred_element_type=jnp.float32,
+    )
+    y = y + b_ref[:].astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    o_ref[0] = y.reshape(t, h, wd, -1).astype(o_ref.dtype)
+
+
+def _sample_spec(t, h, w, lanes, cb_grid=False):
+    if cb_grid:
+        return pl.BlockSpec(
+            (1, t, h, w, lanes),
+            lambda b, cb: (b, 0, 0, 0, cb),
+            memory_space=pltpu.VMEM,
+        )
+    return pl.BlockSpec(
+        (1, t, h, w, lanes), lambda b: (b, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _run_fwd_tb(x, w, b, relu):
+    xp, cin, cinp = _pad_lanes(x, -1)
+    wp, _, _ = _pad_lanes(w, 0)
+    wp, co, cop = _pad_lanes(wp, 1)
+    bp = jnp.pad(b, (0, cop - co)) if cop != co else b
+    bsz, t, h, wd, _ = xp.shape
+    y = pl.pallas_call(
+        partial(_fwd_kernel_tb, relu=relu),
+        grid=(bsz,),
+        in_specs=[
+            _sample_spec(t, h, wd, cinp),
+            _full_spec((cinp, cop)),
+            _full_spec((cop,)),
+        ],
+        out_specs=_sample_spec(t, h, wd, cop),
+        out_shape=jax.ShapeDtypeStruct((bsz, t, h, wd, cop), x.dtype),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(xp, wp, bp)
+    return y[..., :co] if cop != co else y
+
+
+def _bwd_kernel_tb(x_ref, y_ref, g_ref, wt_ref, o_ref, *, relu):
+    """Input cotangent for one whole sample x one 128-wide Cin block:
+    gc = (g * relu'(y)) @ W^T[:, cin_block] in one matmul, then the exact
+    27-term max-gather against the recomputed pooled block — temporal and
+    spatial shifts both zero-filled (out-of-range terms contribute 0
+    because the shifted g is 0 wherever the shifted pooled is)."""
+    x = x_ref[0]
+    t, h, wd, cin = x.shape
+    g = g_ref[0].astype(jnp.float32)
+    if relu:
+        y = y_ref[0]
+        g = jnp.where(_eq(y, jnp.zeros_like(y)), 0.0, g)
+    co = g.shape[-1]
+    gc = jnp.dot(
+        g.reshape(t * h * wd, co),
+        wt_ref[:].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).reshape(t, h, wd, cin)
+    pooled = _thw_pool(x.astype(jnp.float32))
+    xf = x.astype(jnp.float32)
+    acc = jnp.zeros((t, h, wd, cin), jnp.float32)
+    for dt in (-1, 0, 1):
+        yt = _shift(pooled, dt, 0) if dt else pooled
+        gt = _shift(gc, dt, 0) if dt else gc
+        for dh in (-1, 0, 1):
+            yh = _shift(yt, dh, 1) if dh else yt
+            gh = _shift(gt, dh, 1) if dh else gt
+            for dw in (-1, 0, 1):
+                ys = _shift(yh, dw, 2) if dw else yh
+                gs = _shift(gh, dw, 2) if dw else gh
+                acc = acc + jnp.where(xf == ys, gs, 0.0)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _run_bwd_tb(x, y, g, w, relu):
+    xp, cin, cinp = _pad_lanes(x, -1)
+    ypd, co, cop = _pad_lanes(y, -1)
+    gpd, _, _ = _pad_lanes(g, -1)
+    wt = jnp.swapaxes(w, 0, 1)  # (Co, Cin)
+    wt, _, _ = _pad_lanes(wt, 0)
+    wt, _, _ = _pad_lanes(wt, 1)
+    bsz, t, h, wd, _ = xp.shape
+    wt_spec = pl.BlockSpec(
+        (cop, _LANES), lambda b, cb: (0, cb), memory_space=pltpu.VMEM
+    )
+    gi = pl.pallas_call(
+        partial(_bwd_kernel_tb, relu=relu),
+        # cb fastest: the y/g/wt blocks' indices don't change across cb
+        # steps for a given b, so Mosaic keeps them resident — x/y/g each
+        # stream through VMEM exactly once
+        grid=(bsz, cinp // _LANES),
+        in_specs=[
+            _sample_spec(t, h, wd, _LANES, cb_grid=True),
+            pl.BlockSpec((1, t, h, wd, cop), lambda b, cb: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, h, wd, cop), lambda b, cb: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wt_spec,
+        ],
+        out_specs=_sample_spec(t, h, wd, _LANES, cb_grid=True),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, g.dtype),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(xp, ypd, gpd, wt)
+    return gi[..., :cin] if cinp != cin else gi
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_pool_conv_tblock(x, w, b, relu=True):
+    """Whole-T frame-block fused branch 3 (same math as
+    ``fused_pool_conv``, same tie semantics): maxpool3x3x3(s1, zero-padded
+    SAME) -> 1x1x1 conv -> bias [-> ReLU]. x: (B, T, H, W, Cin);
+    w: (Cin, Cout); b: (Cout,)."""
+    return _run_fwd_tb(x, w, b, relu)
+
+
+def _vjp_fwd_tb(x, w, b, relu):
+    y = _run_fwd_tb(x, w, b, relu)
+    return y, (x, y, w, b)
+
+
+def _vjp_bwd_tb(relu, res, g):
+    x, y, w, b = res
+    b_dtype = b.dtype
+    dx = _run_bwd_tb(x, y, g, w, relu)
+    from ivf_tpu.ops.conv import max_pool3d_same
+
+    pooled = max_pool3d_same(x, (3, 3, 3), (1, 1, 1))
+    ge = g
+    if relu:
+        ge = jnp.where(y > 0, g, jnp.zeros_like(g))
+    dw = jnp.einsum(
+        "bthwi,bthwo->io",
+        pooled.astype(jnp.float32),
+        ge.astype(jnp.float32),
+    ).astype(w.dtype)
+    db = jnp.sum(ge.astype(jnp.float32), axis=(0, 1, 2, 3)).astype(b_dtype)
+    return dx, dw, db
+
+
+fused_pool_conv_tblock.defvjp(_vjp_fwd_tb, _vjp_bwd_tb)

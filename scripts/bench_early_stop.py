@@ -302,6 +302,16 @@ def train_flash_model(args, log=print):
     t0, step = time.time(), 0
     while step < args.train_steps:
         k = min(args.train_chunk, args.train_steps - step)
+        if args.train_fresh and step:
+            # regenerate the resident train set every chunk: fresh clips
+            # beat a bigger resident set on the tunnel (operand residency
+            # is what per-execution overhead scales with), and the CLSTM
+            # memorizes any fixed small set (round-5 finding: 128 resident
+            # KTH clips -> held-out top1 0.047 at train top1 1.0)
+            clips_f, labels_f = make_flash_clips(
+                args.train_clips, hw, seed=100 + step, t=t, h=h, w=w
+            )
+            tr_clips, tr_labels = jnp.asarray(clips_f), jnp.asarray(labels_f)
         idxs = jnp.asarray(
             host_rng.integers(
                 0, args.train_clips, (k, args.train_batch), dtype=np.int32
@@ -845,6 +855,11 @@ def main():
     ap.add_argument("--train-clips", type=int, default=128)
     ap.add_argument("--eval-clips", type=int, default=64)
     ap.add_argument("--train-lr", type=float, default=3e-4)
+    ap.add_argument(
+        "--train-fresh", action="store_true",
+        help="regenerate the resident train set every chunk (defeats "
+        "memorization of a small fixed set — needed for the CLSTM family)",
+    )
     ap.add_argument(
         "--weights-cache", default="",
         help="npz path caching the flash-trained variables across runs "

@@ -108,6 +108,11 @@ VARIANTS = {
     "clipbf16_256": dict(batch=256, clip_bf16=True),
     # fused branch-3 (pool + 1x1 conv) Pallas kernel
     "fusedpool_128": dict(batch=128, fuse_pool_conv=True),
+    # round 5: whole-T frame-block fused branch 3 (each frame read once
+    # instead of 3x fwd / 5x bwd). Compares head-to-head against
+    # argmaxpool_128 (the production winner): both replace ONLY the
+    # stride-1 branch pools, so they are alternatives, not composable
+    "fusedtblock_128": dict(batch=128, fuse_pool_conv="tblock"),
     "fusedpool_bf16_128": dict(batch=128, fuse_pool_conv=True, clip_bf16=True),
     "fusedpool_64": dict(batch=64, fuse_pool_conv=True),
     "fusedpool_f3_128": dict(batch=128, fuse_pool_conv=True, fuse_3x3=True),

@@ -410,10 +410,19 @@ def test_i3d_fuse_pool_conv_matches_baseline():
 
 
 @pytest.mark.slow
-def test_fused_pool_conv_matches_xla_composition():
-    """fused_pool_conv fwd + all three cotangents == max_pool3d_same +
-    einsum + bias (+ReLU), on tie-free data (interpret mode off-TPU)."""
-    from ivf_tpu.ops.pallas.fused_branch3 import fused_pool_conv
+@pytest.mark.parametrize("variant", ["frame", "tblock"])
+def test_fused_pool_conv_matches_xla_composition(variant):
+    """fused_pool_conv (per-frame grid) and fused_pool_conv_tblock
+    (whole-T frame-block grid, round 5) fwd + all three cotangents ==
+    max_pool3d_same + einsum + bias (+ReLU), on tie-free data (interpret
+    mode off-TPU)."""
+    from ivf_tpu.ops.pallas import fused_branch3
+
+    fused_pool_conv = (
+        fused_branch3.fused_pool_conv
+        if variant == "frame"
+        else fused_branch3.fused_pool_conv_tblock
+    )
 
     rng = np.random.RandomState(0)
     x = jnp.asarray((rng.rand(2, 4, 6, 6, 24) + 0.1).astype(np.float32))
