@@ -324,38 +324,66 @@ def _run_fwd_tb(x, w, b, relu):
     return y[..., :co] if cop != co else y
 
 
-def _bwd_kernel_tb(x_ref, y_ref, g_ref, wt_ref, o_ref, *, relu):
-    """Input cotangent for one whole sample x one 128-wide Cin block:
+def _bwd_kernel_tb(
+    x_ref, y_ref, g_ref, wt_ref, o_ref, gc_ref, pool_ref, acc_ref, *, relu
+):
+    """Input cotangent for one whole sample x one 128-wide Cin block.
     gc = (g * relu'(y)) @ W^T[:, cin_block] in one matmul, then the exact
     27-term max-gather against the recomputed pooled block — temporal and
     spatial shifts both zero-filled (out-of-range terms contribute 0
-    because the shifted g is 0 wherever the shifted pooled is)."""
+    because the shifted g is 0 wherever the shifted pooled is).
+
+    The 27 gather terms are split over the grid's third dim (one temporal
+    offset per step): all in/out block indices are dt-independent, so the
+    blocks stay VMEM-resident across the three steps — the split costs no
+    HBM traffic, it only bounds the kernel's peak live temporaries (the
+    flat 27-term unroll hit a 75.6 MB Mosaic stack frame vs the 64 MB
+    scoped-VMEM ceiling at the Mixed_3c geometry). gc / pooled / the f32
+    accumulator persist in VMEM scratch between the steps."""
+    dt = pl.program_id(2)
     x = x_ref[0]
     t, h, wd, cin = x.shape
-    g = g_ref[0].astype(jnp.float32)
-    if relu:
-        y = y_ref[0]
-        g = jnp.where(_eq(y, jnp.zeros_like(y)), 0.0, g)
-    co = g.shape[-1]
-    gc = jnp.dot(
-        g.reshape(t * h * wd, co),
-        wt_ref[:].astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    ).reshape(t, h, wd, cin)
-    pooled = _thw_pool(x.astype(jnp.float32))
+
+    @pl.when(dt == 0)
+    def _prep():
+        g = g_ref[0].astype(jnp.float32)
+        if relu:
+            y = y_ref[0]
+            g = jnp.where(_eq(y, jnp.zeros_like(y)), 0.0, g)
+        co = g.shape[-1]
+        gc_ref[...] = jnp.dot(
+            g.reshape(t * h * wd, co),
+            wt_ref[:].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).reshape(t, h, wd, cin)
+        pool_ref[...] = _thw_pool(x.astype(jnp.float32))
+
     xf = x.astype(jnp.float32)
-    acc = jnp.zeros((t, h, wd, cin), jnp.float32)
-    for dt in (-1, 0, 1):
-        yt = _shift(pooled, dt, 0) if dt else pooled
-        gt = _shift(gc, dt, 0) if dt else gc
+
+    def _term(d):
+        pooled, gc = pool_ref[...], gc_ref[...]
+        yt = _shift(pooled, d, 0) if d else pooled
+        gt = _shift(gc, d, 0) if d else gc
+        s = jnp.zeros((t, h, wd, cin), jnp.float32)
         for dh in (-1, 0, 1):
             yh = _shift(yt, dh, 1) if dh else yt
             gh = _shift(gt, dh, 1) if dh else gt
             for dw in (-1, 0, 1):
                 ys = _shift(yh, dw, 2) if dw else yh
                 gs = _shift(gh, dw, 2) if dw else gh
-                acc = acc + jnp.where(xf == ys, gs, 0.0)
-    o_ref[0] = acc.astype(o_ref.dtype)
+                s = s + jnp.where(xf == ys, gs, 0.0)
+        return s
+
+    for i, d in enumerate((-1, 0, 1)):
+
+        @pl.when(dt == i)
+        def _accum(d=d, first=i == 0):
+            term = _term(d)
+            acc_ref[...] = term if first else acc_ref[...] + term
+
+    @pl.when(dt == 2)
+    def _flush():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
 
 def _run_bwd_tb(x, y, g, w, relu):
@@ -367,24 +395,30 @@ def _run_bwd_tb(x, y, g, w, relu):
     wt, _, _ = _pad_lanes(wt, 1)
     bsz, t, h, wd, _ = xp.shape
     wt_spec = pl.BlockSpec(
-        (cop, _LANES), lambda b, cb: (0, cb), memory_space=pltpu.VMEM
+        (cop, _LANES), lambda b, cb, dt: (0, cb), memory_space=pltpu.VMEM
+    )
+    x_spec = pl.BlockSpec(
+        (1, t, h, wd, _LANES), lambda b, cb, dt: (b, 0, 0, 0, cb),
+        memory_space=pltpu.VMEM,
+    )
+    yg_spec = pl.BlockSpec(
+        (1, t, h, wd, cop), lambda b, cb, dt: (b, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     gi = pl.pallas_call(
         partial(_bwd_kernel_tb, relu=relu),
-        # cb fastest: the y/g/wt blocks' indices don't change across cb
-        # steps for a given b, so Mosaic keeps them resident — x/y/g each
-        # stream through VMEM exactly once
-        grid=(bsz, cinp // _LANES),
-        in_specs=[
-            _sample_spec(t, h, wd, _LANES, cb_grid=True),
-            pl.BlockSpec((1, t, h, wd, cop), lambda b, cb: (b, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, h, wd, cop), lambda b, cb: (b, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            wt_spec,
-        ],
-        out_specs=_sample_spec(t, h, wd, _LANES, cb_grid=True),
+        # dt fastest (temporal-offset split, indices dt-independent ->
+        # blocks resident), then cb (y/g/wt indices cb-independent ->
+        # resident for a given b): x/y/g each stream through VMEM once
+        grid=(bsz, cinp // _LANES, 3),
+        in_specs=[x_spec, yg_spec, yg_spec, wt_spec],
+        out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct(xp.shape, g.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((t, h, wd, _LANES), jnp.float32),  # gc
+            pltpu.VMEM((t, h, wd, _LANES), jnp.float32),  # pooled
+            pltpu.VMEM((t, h, wd, _LANES), jnp.float32),  # accumulator
+        ],
         interpret=jax.default_backend() not in ("tpu", "axon"),
     )(xp, ypd, gpd, wt)
     return gi[..., :cin] if cinp != cin else gi

@@ -27,6 +27,7 @@ production mask-search clip (16 frames, 224^2).
 
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, "/root/repo")
 
@@ -52,10 +53,15 @@ def xla_branch3(x, w, b, relu=True):
     return jnp.maximum(y, 0) if relu else y
 
 
-def bench(fn, args, iters=4):
-    """min-of-2 per-launch seconds; salt defeats the tunnel memoizer."""
+def bench(fn, args, iters=4, vmem_kib=0):
+    """min-of-2 per-launch seconds; salt defeats the tunnel memoizer.
+    ``vmem_kib`` raises the scoped-VMEM limit (the tblock kernel's whole-T
+    frame needs ~21-30 MB against the 16 MB default)."""
+    opts = (
+        {"xla_tpu_scoped_vmem_limit_kib": str(vmem_kib)} if vmem_kib else None
+    )
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=opts)
     def run(salt, *args):
         def body(c, i):
             x = args[0] + ((i + salt) * 1e-6).astype(args[0].dtype)
@@ -103,7 +109,8 @@ def main():
         fwd_xla = bench(lambda a, w_, b_: xla_branch3(a, w_, b_), (x, wgt, bias))
         fwd_fus = bench(lambda a, w_, b_: fused_pool_conv(a, w_, b_), (x, wgt, bias))
         fwd_tb = bench(
-            lambda a, w_, b_: fused_pool_conv_tblock(a, w_, b_), (x, wgt, bias)
+            lambda a, w_, b_: fused_pool_conv_tblock(a, w_, b_), (x, wgt, bias),
+            vmem_kib=65536,
         )
 
         def grad_of(fn):
@@ -114,7 +121,9 @@ def main():
 
         fb_xla = bench(grad_of(xla_branch3), (x, wgt, bias))
         fb_fus = bench(grad_of(fused_pool_conv), (x, wgt, bias))
-        fb_tb = bench(grad_of(fused_pool_conv_tblock), (x, wgt, bias))
+        fb_tb = bench(
+            grad_of(fused_pool_conv_tblock), (x, wgt, bias), vmem_kib=65536
+        )
 
         gb = x.size * 2 / 1e9
         print(

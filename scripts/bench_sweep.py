@@ -22,7 +22,7 @@ sys.path.insert(0, "/root/repo")
 def build(batch, n_steps, *, dtype="bfloat16", remat=False, fuse_3x3=False,
           clip_bf16=False, use_pallas=False, pallas_pool=False,
           fuse_pool_conv=False, pool_impl="reduce_window", ckpt_score=False,
-          hot=False, t=16, hw=224):
+          hot=False, vmem_kib=0, t=16, hw=224):
     from ivf_tpu.interpret.mask_opt import find_mask
     from ivf_tpu.models import i3d_smth
 
@@ -57,6 +57,13 @@ def build(batch, n_steps, *, dtype="bfloat16", remat=False, fuse_3x3=False,
         # scoped-VMEM fusion budget = the full 128 MB). Bypasses the axon
         # compile server's cache, so expect 8-15 min compile variance.
         from ivf_tpu.utils.compile import hot_jit as _jit
+    elif vmem_kib:
+        # the tblock fused-branch3 kernel's Mosaic stack frame needs more
+        # than the 16 MB scoped-VMEM default (see ops/pallas/fused_branch3)
+        _jit = partial(
+            jax.jit,
+            compiler_options={"xla_tpu_scoped_vmem_limit_kib": str(vmem_kib)},
+        )
     else:
         _jit = jax.jit
 
@@ -112,7 +119,9 @@ VARIANTS = {
     # instead of 3x fwd / 5x bwd). Compares head-to-head against
     # argmaxpool_128 (the production winner): both replace ONLY the
     # stride-1 branch pools, so they are alternatives, not composable
-    "fusedtblock_128": dict(batch=128, fuse_pool_conv="tblock"),
+    "fusedtblock_128": dict(
+        batch=128, fuse_pool_conv="tblock", vmem_kib=65536
+    ),
     "fusedpool_bf16_128": dict(batch=128, fuse_pool_conv=True, clip_bf16=True),
     "fusedpool_64": dict(batch=64, fuse_pool_conv=True),
     "fusedpool_f3_128": dict(batch=128, fuse_pool_conv=True, fuse_3x3=True),
