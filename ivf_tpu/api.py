@@ -99,6 +99,56 @@ class _AsyncWriter:
             raise err
 
 
+class _EmissionJournal:
+    """Append-only pickle stream of per-clip emission records — the
+    preemption-safety layer under ``find_masks(..., resume=True)``.
+
+    The reference drivers hold every result in RAM and pickle once at the
+    end (FindMasksComparison_I3D_smth.py:253-266), so an interruption of the
+    hour-scale full-val search loses everything. Here each retired clip
+    appends one record ``{"video_id", "mask": dict|None, "cam": dict|None}``
+    (or ``{"video_id", "skip": True}`` for min_score rejects) to
+    ``results/emission_journal.p``. Records are written AFTER the clip's viz
+    artifacts land on disk (inside the async-viz worker when viz runs), so
+    journaled ⇒ fully durable. ``load`` tolerates a torn trailing record
+    from a hard kill: the intact prefix restores, the rest re-runs. Appends
+    are fsync'd per flush (one ``append_many`` per emission call — host
+    noise next to the multi-second search launches).
+    """
+
+    def __init__(self, path: str, fresh: bool):
+        import threading
+
+        self._path = path
+        self._lock = threading.Lock()
+        if fresh and os.path.exists(path):
+            os.remove(path)  # never mix two runs' records
+
+    def append_many(self, records) -> None:
+        with self._lock, open(self._path, "ab") as f:
+            for rec in records:
+                pickle.dump(rec, f)
+            f.flush()
+            os.fsync(f.fileno())
+
+    @staticmethod
+    def load(path: str) -> dict:
+        """id -> record, last write wins; robust to a truncated tail."""
+        out: dict = {}
+        if not os.path.exists(path):
+            return out
+        with open(path, "rb") as f:
+            while True:
+                try:
+                    rec = pickle.load(f)
+                except EOFError:
+                    break
+                except Exception:
+                    break  # torn trailing record from a mid-append crash
+                out[str(rec["video_id"])] = rec
+        return out
+
+
 def default_effective_steps(clip_size: int) -> tuple:
     """Reference defaults: CLSTM_4.py:11 hardcodes [4,8,12,15] for step=16
     while the KTH driver passes [7,15,23,31] for 32 (train_clstm_kth.py:51-55)
@@ -569,6 +619,7 @@ def find_masks(
     mesh=None,
     split: str = "validation",
     stats: Optional[dict] = None,
+    resume: bool = False,
 ):
     """Temporal-mask search + Grad-CAM over the validation set — vmapped.
     ``split='train'`` mirrors the reference's ``--train`` flag (utils.py:43:
@@ -591,6 +642,15 @@ def find_masks(
     batches, so search work tracks per-row stop steps instead of the
     slowest row per batch — per-clip results identical, emission order
     differs (retirement order).
+
+    Every retired clip is journaled to ``results/emission_journal.p`` as it
+    emits (see ``_EmissionJournal``); ``resume=True`` restores journaled
+    records and runs only the clips an interrupted run had not finished —
+    per-clip results bit-exact vs an uninterrupted run (search math is
+    batch-composition independent), pickle order differs. Resume assumes the
+    same config/weights/dataset; journaled records missing a field the
+    current run needs (e.g. a journal written without Grad-CAM resumed with
+    it) are re-run in full.
     """
     from ivf_tpu.interpret.gradcam import i3d_grad_cam_fns
     from ivf_tpu.interpret.mask_opt import init_mask_central
@@ -895,6 +955,37 @@ def find_masks(
     results_path = os.path.join(save_dir, "results")
     os.makedirs(results_path, exist_ok=True)
 
+    # ---- emission journal (preemption-safe resume) -----------------------
+    journal_path = os.path.join(results_path, "emission_journal.p")
+    done_ids: set = set()
+    resumed_clips = resumed_skipped = 0
+    if resume:
+        for vid, rec in _EmissionJournal.load(journal_path).items():
+            if rec.get("skip"):
+                done_ids.add(vid)
+                resumed_skipped += 1
+                continue
+            # a record satisfies this run only if it carries every field the
+            # run needs; stale partials (config widened since) re-run in full
+            if run_temp_mask and rec.get("mask") is None:
+                continue
+            if do_gradcam and rec.get("cam") is None:
+                continue
+            if run_temp_mask:
+                time_mask_results.append(rec["mask"])
+            if do_gradcam and rec.get("cam") is not None:
+                grad_cam_results.append(rec["cam"])
+            done_ids.add(vid)
+            resumed_clips += 1
+        if resumed_clips or resumed_skipped:
+            print(
+                f"[find-masks] resume: {resumed_clips} clips restored from "
+                f"the emission journal ({resumed_skipped} journaled "
+                f"min_score skips) — re-running the rest",
+                flush=True,
+            )
+    journal = _EmissionJournal(journal_path, fresh=not resume)
+
     # ---- compacted staged execution --------------------------------------
     # Kept clips accumulate host-side across loader batches; the jitted
     # score/init/search/cam programs (compiled ONCE, fixed batch B) launch
@@ -948,8 +1039,10 @@ def find_masks(
         # launched and survivor rows re-staged across them
         "refill_flushes": 0,
         "refill_requeued_rows": 0,
+        # resume path: journaled records restored instead of re-run
+        "resumed_clips": resumed_clips,
+        "resumed_skipped": resumed_skipped,
     }
-    flush_idx = [0]
     pert_cache: dict = {}
     viz_writer = _AsyncWriter(enabled=mk.async_viz)
 
@@ -982,10 +1075,19 @@ def find_masks(
         )
         rng_keys = None
         if run_temp_mask and mk.mask_init_type != "central":
-            rng_keys = jax.random.split(
-                jax.random.PRNGKey(cfg.seed + flush_idx[0]), B
+            # per-clip keys fold a stable id hash into the seed, NOT the
+            # flush position: a clip's random init is then independent of
+            # staging composition, so compaction/refill/resume all leave
+            # random-init results bit-identical too
+            import zlib
+
+            hashes = np.asarray(
+                [zlib.crc32(str(r[2]).encode()) for r in take], np.uint32
             )
-        flush_idx[0] += 1
+            base_key = jax.random.PRNGKey(cfg.seed)
+            rng_keys = jax.vmap(lambda h: jax.random.fold_in(base_key, h))(
+                jnp.asarray(_pad_np(hashes))
+            )
         segs_done = 0
         if pro_seg_batch is not None:
             # fused prologue+segment-1: one GB-operand launch per flush
@@ -1023,6 +1125,10 @@ def find_masks(
         a partial harvest never pulls the whole GB-scale batch to host."""
         sel_np = np.asarray(sel, np.int64)
         sel_dev = jnp.asarray(sel_np)
+        # per-clip journal records; appended durably once this emission's
+        # artifacts are (inside the viz job when viz runs, else right here)
+        jrecs = {j: {"video_id": ids_k[j], "mask": None, "cam": None}
+                 for j in sel}
         masks_np = freeze_np = reverse_np = None
         if run_temp_mask:
             masks_np = np.asarray(
@@ -1036,32 +1142,32 @@ def find_masks(
                 np.asarray(res.n_steps_run)[sel_np].tolist()
             )
             for k, j in enumerate(sel):
-                time_mask_results.append(
-                    {
-                        "true_class": int(labels_np[j]),
-                        "pred_class": int(pred[j]),
-                        "video_id": ids_k[j],
-                        "time_mask": masks_np[k],
-                        "original_score_guess": float(outputs_np[j].max()),
-                        "original_score_true": float(
-                            outputs_np[j][labels_np[j]]
-                        ),
-                        "freeze_score": float(freeze_np[k]),
-                        "reverse_score": float(reverse_np[k]),
-                    }
-                )
+                rec = {
+                    "true_class": int(labels_np[j]),
+                    "pred_class": int(pred[j]),
+                    "video_id": ids_k[j],
+                    "time_mask": masks_np[k],
+                    "original_score_guess": float(outputs_np[j].max()),
+                    "original_score_true": float(
+                        outputs_np[j][labels_np[j]]
+                    ),
+                    "freeze_score": float(freeze_np[k]),
+                    "reverse_score": float(reverse_np[k]),
+                }
+                time_mask_results.append(rec)
+                jrecs[j]["mask"] = rec
         cams_np = None
         if do_gradcam:
             cams_np = np.asarray(jnp.take(cams, sel_dev, axis=0))
             for k, j in enumerate(sel):
-                grad_cam_results.append(
-                    {
-                        "true_class": int(labels_np[j]),
-                        "pred_class": int(pred[j]),
-                        "video_id": ids_k[j],
-                        "GCHeatMap": cams_np[k],
-                    }
-                )
+                rec = {
+                    "true_class": int(labels_np[j]),
+                    "pred_class": int(pred[j]),
+                    "video_id": ids_k[j],
+                    "GCHeatMap": cams_np[k],
+                }
+                grad_cam_results.append(rec)
+                jrecs[j]["cam"] = rec
 
         if save_viz and run_temp_mask:
             # ONE unified per-clip viz loop (the reference's two back-to-back
@@ -1121,6 +1227,7 @@ def find_masks(
                 kth_pert=kth_pert,
                 clips_f32=clips_f32,
                 outputs_np=outputs_np,
+                jlist=list(jrecs.values()),
             ):
                 for k, j in enumerate(sel):
                     tag = ids_k[j]
@@ -1173,8 +1280,22 @@ def find_masks(
                             case=tag,
                             mark_imgs=True,
                         )
+                # journal last: journaled ⇒ this clip's viz/score artifacts
+                # are already on disk, so resume never skips a half-written
+                # clip
+                journal.append_many(jlist)
 
             viz_writer.submit(_viz_job)
+        else:
+            # no viz I/O to wait for — the result records ARE the artifacts.
+            # Still ride the async writer: with Grad-CAM on, a 128-clip
+            # flush journals ~400 MB of full-resolution heatmaps (~8.6 s
+            # host I/O measured — PERF.md round 5), which overlaps the next
+            # flush's device launch instead of serializing against it;
+            # mask-only flushes are ~50 KB / ~13 ms either way
+            viz_writer.submit(
+                lambda recs=list(jrecs.values()): journal.append_many(recs)
+            )
 
     def _run_batch(take):
         (
@@ -1334,9 +1455,17 @@ def find_masks(
             )
             outs = np.asarray(batched_scores(clips_dev))[:n]
             run_stats["score_launches"] += 1
+            skips = []
             for j, (clip, label, cid) in enumerate(take):
                 if outs[j][label] >= mk.min_score:
                     ready.append((clip, label, cid, outs[j]))
+                else:
+                    # journal the rejection so a resumed run re-probes
+                    # nothing (find_mask_smth.py:364-366 skips are
+                    # deterministic given weights+clip)
+                    skips.append({"video_id": str(cid), "skip": True})
+            if skips:
+                journal.append_many(skips)
             _flush_ready()
 
     _body_ok = False
@@ -1367,6 +1496,10 @@ def find_masks(
                 keep &= np.asarray(
                     [tag_matches(str(i), cfg.split_type) for i in ids]
                 )
+            if done_ids:
+                # resume: journaled clips (results restored / min_score
+                # skips) never re-stage
+                keep &= np.asarray([str(i) not in done_ids for i in ids])
             for i in np.nonzero(keep)[0]:
                 # copy() the row: a view would pin its WHOLE loader batch in
                 # host RAM, and under selective filters staged rows span

@@ -72,6 +72,12 @@ def main(argv=None):
         "--train", "-tr", action="store_true",
         help="run on the train split instead of validation (utils.py:43)",
     )
+    p.add_argument(
+        "--resume", "-r", action="store_true",
+        help="resume an interrupted run from results/emission_journal.p: "
+        "journaled clips restore instead of re-running (same config/"
+        "weights/data assumed)",
+    )
     common(sub.add_parser("grad-cam")).add_argument(
         "--train", "-tr", action="store_true",
         help="run on the train split instead of validation",
@@ -223,6 +229,7 @@ def main(argv=None):
                 max_batches=1 if cfg.test_run else None,
                 mesh=_mesh(),
                 split="train" if args.train else "validation",
+                resume=getattr(args, "resume", False),
             )
             if cam_only:
                 print(f"grad-cam: {len(gc_results)} clips (results pickled)")
