@@ -19,6 +19,7 @@ import pickle
 import tempfile
 
 import numpy as np
+import pytest
 
 from ivf_tpu.api import build_model, find_masks
 from ivf_tpu.config import Config
@@ -78,6 +79,7 @@ def _journal_path(cfg):
     )
 
 
+@pytest.mark.slow
 def test_resume_completes_partial_run():
     """Interrupt after the first flush (max_batches=1), resume: only the
     unfinished clips are searched, and the final pickles match an
@@ -117,6 +119,7 @@ def test_resume_completes_partial_run():
     _assert_same_records(_by_id(tm0), _by_id(tm2))
 
 
+@pytest.mark.slow
 def test_resume_truncated_journal_tail():
     """A crash mid-append leaves a torn trailing record: restore keeps the
     intact prefix, re-runs the rest, and the union is complete."""
@@ -164,6 +167,7 @@ def test_resume_skips_min_score_probes():
     _assert_same_records(_by_id(tm0), _by_id(tm1))
 
 
+@pytest.mark.slow
 def test_fresh_run_clears_stale_journal():
     """Without resume=True a rerun starts clean: the journal is truncated up
     front so it never mixes two runs' records."""
@@ -184,6 +188,7 @@ def test_fresh_run_clears_stale_journal():
     assert len(recs) == 4, len(recs)  # second run only — no stale mixing
 
 
+@pytest.mark.slow
 def test_resume_random_init_composition_independent():
     """Random mask inits key off a stable hash of the clip id (not the
     flush position), so an interrupted+resumed run reproduces the
@@ -205,6 +210,7 @@ def test_resume_random_init_composition_independent():
     _assert_same_records(_by_id(tm0), _by_id(tm1))
 
 
+@pytest.mark.slow
 def test_resume_config_widening_reruns_incomplete():
     """A journal written without Grad-CAM does not satisfy a resumed run
     that needs it: those clips re-run in full (guard against serving stale
